@@ -1,0 +1,195 @@
+"""MatrixFree data structure and cell loop (capabilities C4, C6, C7).
+
+Setup (NumPy, trace time) turns (Triangulation, degree) into static device
+tensors: the fast per-cell DoF map (hanging slots replaced by coarse
+masters), compressed constraint masks, geometry factors, and the slow-path
+constraint CSR. Execution is a single jitted program per operator
+application: gather → in-register HN interpolation → cell kernel →
+transpose HN → segment-sum scatter (the TPU analog of
+MatrixFree::cell_loop + FEEvaluation, benchmark_01.h:579-617).
+
+The reference's vectorization knobs map as:
+- hn_mode="compact"  — gather the constrained-cell subset, interpolate, write
+  back ("index" runner analog; cheap when HN cells are a small fraction).
+- hn_mode="all"      — masked interpolation over every cell batch
+  ("group"/vectorized runner analog; no gathers, more FLOPs).
+- categorize=True    — setup-time stable sort of cells by mask so constrained
+  cells form one contiguous tail slice ("sorted" runner /
+  cell_vectorization_category analog, benchmark_01.h:258-284).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .constraints import build_constraints
+from .dof_handler import DoFHandler
+from .elements import shape_info
+from .mapping import cartesian_laplace_factors, deformed_laplace_factors
+from .mesh import Triangulation
+from .ops.hanging_nodes import apply_hanging_node_constraints
+
+__all__ = ["MatrixFree"]
+
+
+class MatrixFree:
+    def __init__(
+        self,
+        tria: Triangulation,
+        degree: int,
+        dtype=np.float64,
+        hn_mode: str = "compact",
+        categorize: bool = False,
+        high_order_mapping: bool = False,
+    ):
+        if hn_mode not in ("compact", "all", "sorted"):
+            raise ValueError(f"unknown hn_mode {hn_mode!r}")
+        if hn_mode == "sorted":
+            categorize = True
+        self.tria = tria
+        self.degree = degree
+        self.dim = tria.dim
+        self.dtype = np.dtype(dtype)
+        self.hn_mode = hn_mode
+        self.categorize = categorize
+        self.shape = shape_info(degree)
+        self.dof_handler = DoFHandler(tria, degree)
+        self.constraints = build_constraints(self.dof_handler)
+        self.n_dofs = self.dof_handler.n_dofs
+        self.n_cells = tria.n_active_cells
+
+        masks = self.constraints.masks.astype(np.int32)
+        dofmap = self.constraints.cell_dofs_fast.astype(np.int32)
+        dofmap_plain = self.dof_handler.cell_dofs.astype(np.int32)
+        if high_order_mapping:
+            geo = deformed_laplace_factors(tria, self.shape)
+        else:
+            geo = cartesian_laplace_factors(tria)
+        self.high_order_mapping = high_order_mapping
+
+        self.cell_permutation = np.arange(self.n_cells)
+        if categorize:
+            # stable sort by mask: unconstrained cells (mask 0) first, then
+            # groups of identical masks — the "sorted"/categorize variant.
+            perm = np.argsort(masks, kind="stable")
+            self.cell_permutation = perm
+            masks, dofmap, dofmap_plain = masks[perm], dofmap[perm], dofmap_plain[perm]
+            geo = geo[perm]
+
+        hn_idx = np.nonzero(masks != 0)[0]
+        self.n_hn_cells = len(hn_idx)
+        self._first_hn = int(hn_idx[0]) if len(hn_idx) else self.n_cells
+
+        # ---- device tensors
+        self.dofmap = jnp.asarray(dofmap)
+        self.dofmap_plain = jnp.asarray(dofmap_plain)
+        self.masks = jnp.asarray(masks)
+        self.hn_idx = jnp.asarray(hn_idx.astype(np.int32))
+        self.hn_masks = jnp.asarray(masks[hn_idx])
+        self.geo = jnp.asarray(geo, dtype=self.dtype)
+        self.S = jnp.asarray(self.shape.S, dtype=self.dtype)
+        self.D = jnp.asarray(self.shape.D, dtype=self.dtype)
+        self.Dc = jnp.asarray(self.shape.Dc, dtype=self.dtype)
+        self.P = jnp.asarray(self.shape.P, dtype=self.dtype)
+        self.quad_w = jnp.asarray(
+            self.shape.quad_weights_tensor(self.dim), dtype=self.dtype
+        )
+        # slow path CSR (legacy AffineConstraints analog, C5)
+        ci = self.constraints
+        self._slow = dict(
+            slave=jnp.asarray(ci.slave_dofs.astype(np.int32)),
+            row=jnp.asarray(
+                np.repeat(
+                    np.arange(len(ci.slave_dofs), dtype=np.int32),
+                    np.diff(ci.row_ptr),
+                )
+            ),
+            col=jnp.asarray(ci.col.astype(np.int32)),
+            w=jnp.asarray(ci.weight, dtype=self.dtype),
+        )
+
+    # ------------------------------------------------------------------
+    def initialize_dof_vector(self, fill=0.0) -> jnp.ndarray:
+        return jnp.full((self.n_dofs,), fill, dtype=self.dtype)
+
+    # ---- fast hanging-node application (C2) ---------------------------
+    def apply_hanging_node_constraints(self, u: jnp.ndarray, transpose: bool):
+        """In-register HN interpolation on cell-local values [n_cells, n_loc]."""
+        if self.n_hn_cells == 0:
+            return u
+        if self.hn_mode == "all":
+            return apply_hanging_node_constraints(
+                u, self.masks, self.P, self.dim, transpose
+            )
+        if self.hn_mode == "sorted":
+            head, tail = u[: self._first_hn], u[self._first_hn :]
+            tail = apply_hanging_node_constraints(
+                tail, self.masks[self._first_hn :], self.P, self.dim, transpose
+            )
+            return jnp.concatenate([head, tail], axis=0)
+        sub = u[self.hn_idx]
+        sub = apply_hanging_node_constraints(
+            sub, self.hn_masks, self.P, self.dim, transpose
+        )
+        return u.at[self.hn_idx].set(sub)
+
+    # ---- slow-path constraint resolution on the global vector (C5) ----
+    def distribute_slow(self, src: jnp.ndarray) -> jnp.ndarray:
+        """u[slave] <- sum w * u[master] (AffineConstraints::distribute)."""
+        s = self._slow
+        if s["slave"].shape[0] == 0:
+            return src
+        vals = jax.ops.segment_sum(
+            s["w"] * src[s["col"]], s["row"], num_segments=s["slave"].shape[0]
+        )
+        return src.at[s["slave"]].set(vals)
+
+    def compress_slow(self, dst: jnp.ndarray) -> jnp.ndarray:
+        """Fold slave rows into masters (C^T), zeroing slave entries."""
+        s = self._slow
+        if s["slave"].shape[0] == 0:
+            return dst
+        contrib = dst[s["slave"]]
+        dst = dst.at[s["slave"]].set(0)
+        return dst.at[s["col"]].add(s["w"] * contrib[s["row"]])
+
+    # ---- gather / scatter (C4) ----------------------------------------
+    def read_dof_values_plain(self, src: jnp.ndarray, slow: bool = False):
+        dofmap = self.dofmap_plain if slow else self.dofmap
+        return src[dofmap]
+
+    def read_dof_values(self, src: jnp.ndarray, slow: bool = False):
+        if slow:
+            return self.distribute_slow(src)[self.dofmap_plain]
+        return self.apply_hanging_node_constraints(src[self.dofmap], False)
+
+    def distribute_local_to_global_plain(
+        self, u: jnp.ndarray, slow: bool = False
+    ) -> jnp.ndarray:
+        dofmap = self.dofmap_plain if slow else self.dofmap
+        dst = jnp.zeros(self.n_dofs, dtype=u.dtype)
+        return dst.at[dofmap.reshape(-1)].add(u.reshape(-1))
+
+    def distribute_local_to_global(self, u: jnp.ndarray, slow: bool = False):
+        if slow:
+            dst = jnp.zeros(self.n_dofs, dtype=u.dtype)
+            dst = dst.at[self.dofmap_plain.reshape(-1)].add(u.reshape(-1))
+            return self.compress_slow(dst)
+        u = self.apply_hanging_node_constraints(u, True)
+        dst = jnp.zeros(self.n_dofs, dtype=u.dtype)
+        return dst.at[self.dofmap.reshape(-1)].add(u.reshape(-1))
+
+    # ---- cell loop (C7) ------------------------------------------------
+    def cell_loop(self, cell_kernel, src: jnp.ndarray, *, constraints=True,
+                  slow: bool = False) -> jnp.ndarray:
+        """dst = scatter(kernel(gather(src))) — one fused jittable program."""
+        if constraints:
+            u = self.read_dof_values(src, slow=slow)
+        else:
+            u = self.read_dof_values_plain(src, slow=slow)
+        v = cell_kernel(u)
+        if constraints:
+            return self.distribute_local_to_global(v, slow=slow)
+        return self.distribute_local_to_global_plain(v, slow=slow)

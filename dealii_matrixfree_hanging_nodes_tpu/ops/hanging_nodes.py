@@ -1,0 +1,101 @@
+"""In-register hanging-node constraint interpolation (capabilities C2, C12).
+
+TPU-native analog of deal.II's FEEvaluationImplHangingNodes runners /
+FEEvaluationHangingNodesFactory::apply (benchmark_00_likwid.cc:56-59,
+README.md:27-57): a pure function of (1D subface matrices P, 9-bit compressed
+masks, cell-local values) — no mesh access.
+
+Algorithm (see ARCHITECTURE.md): for sweep axis t = 0..dim-1, every lattice
+node lying on a constrained face plane with normal != t, or on a constrained
+edge along t, is replaced by the 1D subface interpolation P_{s_t} applied
+along t; all other nodes pass through. The OR-union of the per-entity node
+sets makes cells with several constrained faces correct (shared edges are
+interpolated exactly once per sweep). ``transpose=True`` applies the exact
+adjoint (reversed sweep order, P^T against the masked input), so
+gather+interpolate and its scatter counterpart are exact adjoints.
+
+Vectorization-type analogs of the reference's three runners (HN_TYPE patch):
+the caller chooses between applying this kernel to *all* cells (masked,
+"vectorized/group"), to a gathered compact subset of constrained cells
+("index"), or to a contiguous pre-sorted range ("sorted"/categorize) — see
+MatrixFree.hn_mode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..dof_handler import local_lattice
+
+__all__ = ["apply_hanging_node_constraints"]
+
+
+def _bits(masks: jnp.ndarray, shift: int) -> jnp.ndarray:
+    return (masks >> shift) & 1
+
+
+def _batched_sweep(v: jnp.ndarray, M: jnp.ndarray, t: int, transpose: bool):
+    """Per-cell 1D contraction over spatial axis t. v: [m, n,..,n], M: [m,n,n]."""
+    ax = v.ndim - 1 - t
+    v = jnp.moveaxis(v, ax, -1)
+    eq = "mji,m...j->m...i" if transpose else "mij,m...j->m...i"
+    v = jnp.einsum(eq, M, v, preferred_element_type=v.dtype)
+    return jnp.moveaxis(v, -1, ax)
+
+
+def apply_hanging_node_constraints(
+    values: jnp.ndarray,
+    masks: jnp.ndarray,
+    P: jnp.ndarray,
+    dim: int,
+    transpose: bool = False,
+) -> jnp.ndarray:
+    """Apply (or transpose-apply) the hanging-node interpolation in-register.
+
+    Parameters
+    ----------
+    values : [m, (p+1)^dim] cell-local coefficients after a plain gather
+    masks  : [m] compressed constraint kinds (0 = unconstrained, identity)
+    P      : [2, p+1, p+1] subface embedding matrices (ShapeInfo.P)
+    """
+    n = P.shape[-1]
+    p = n - 1
+    m = values.shape[0]
+    masks = masks.astype(jnp.int32)
+    lat = jnp.asarray(local_lattice(p, dim))  # [n_loc, dim] static
+
+    sub = [_bits(masks, d) for d in range(dim)]
+    face = [_bits(masks, dim + d) for d in range(dim)]
+    edge = [_bits(masks, 2 * dim + d) for d in range(dim)] if dim == 3 else None
+
+    def node_mask(t: int) -> jnp.ndarray:
+        mm = jnp.zeros((m, n**dim), dtype=bool)
+        for d in range(dim):
+            if d == t:
+                continue
+            plane = (face[d][:, None] == 1) & (
+                lat[None, :, d] == sub[d][:, None] * p
+            )
+            mm = mm | plane
+        if dim == 3:
+            line = edge[t][:, None] == 1
+            for a in range(dim):
+                if a == t:
+                    continue
+                line = line & (lat[None, :, a] == sub[a][:, None] * p)
+            mm = mm | line
+        return mm.reshape(m, *([n] * dim))
+
+    v = values.reshape(m, *([n] * dim))
+    Pm = jnp.asarray(P, dtype=values.dtype)
+    order = reversed(range(dim)) if transpose else range(dim)
+    for t in order:
+        Mt = Pm[sub[t]]  # [m, n, n] per-cell subface matrix
+        mk = node_mask(t)
+        if transpose:
+            masked = jnp.where(mk, v, 0)
+            v = _batched_sweep(masked, Mt, t, transpose=True) + jnp.where(mk, 0, v)
+        else:
+            v = jnp.where(mk, _batched_sweep(v, Mt, t, transpose=False), v)
+    return v.reshape(m, -1)
