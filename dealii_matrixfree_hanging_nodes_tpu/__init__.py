@@ -14,6 +14,10 @@ Quick start::
     dst = op.vmult(src)
 """
 
+from .utils.hostmem import tune_host_memory as _tune_host_memory
+
+_tune_host_memory()
+
 from .version import __version__  # noqa: F401
 from .elements import ShapeInfo, shape_info  # noqa: F401
 from .mesh import (  # noqa: F401

@@ -173,7 +173,7 @@ def build_constraints(dofh: DoFHandler) -> ConstraintInfo:
         nc[:, d] += step
         inside = (nc[:, d] >= 0) & (nc[:, d] < (np.int64(1) << level))
         valid = inside & (level >= 1)
-        face_nb[:, d] = find(level - 1, nc >> 1, valid)
+        face_nb[:, d] = find(level - 1, nc >> np.int64(1), valid)
 
     edge_nb = np.full((n_cells, 3), -1, dtype=np.int64)
     if dim == 3:
@@ -190,7 +190,7 @@ def build_constraints(dofh: DoFHandler) -> ConstraintInfo:
                 & (nc[:, b] < lim)
             )
             valid = inside & (level >= 1)
-            cand = find(level - 1, nc >> 1, valid)
+            cand = find(level - 1, nc >> np.int64(1), valid)
             # covered by a constrained adjacent face -> face interp handles it
             covered = (face_nb[:, a] >= 0) | (face_nb[:, b] >= 0)
             edge_nb[:, e] = np.where(covered, -1, cand)

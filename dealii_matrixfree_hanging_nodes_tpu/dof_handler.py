@@ -78,8 +78,10 @@ class DoFHandler:
             coord_a = base_a + np.where(is_hi, sz_a, 0)
             coord_a = np.where(interior, base_a, coord_a)
             marker_a = np.where(interior, sz_a * 8 + ia, 0)
-            key1 = (key1 << 17) | coord_a
-            key2 = (key2 << 19) | marker_a
+            # NOTE: scalar shift operands must be np.int64 — NumPy 2.0's
+            # python-int promotion path is ~1000x slower on this host.
+            key1 = (key1 << np.int64(17)) | coord_a
+            key2 = (key2 << np.int64(19)) | marker_a
 
         flat1, flat2 = key1.ravel(), key2.ravel()
         order = np.lexsort((flat2, flat1))

@@ -89,10 +89,11 @@ class Triangulation:
     # ------------------------------------------------------- key bookkeeping
     def pack(self, level: np.ndarray, coord: np.ndarray) -> np.ndarray:
         """Unique int64 key for a (level, coord) cell slot."""
-        # 16 bits per coordinate (max level 15 plus headroom) + level bits
+        # 16 bits per coordinate (max level 15 plus headroom) + level bits.
+        # np.int64 scalar shifts: NumPy 2.0 python-int promotion is very slow.
         key = level.astype(np.int64)
         for d in range(self.dim):
-            key = (key << 16) | coord[:, d].astype(np.int64)
+            key = (key << np.int64(16)) | coord[:, d].astype(np.int64)
         return key
 
     def _sort(self):
@@ -176,7 +177,7 @@ class Triangulation:
                 sel = valid & (anc_lvl >= 0)
                 if not sel.any():
                     break
-                anc_coord = nb[sel] >> up
+                anc_coord = nb[sel] >> np.int64(up)
                 keys = self.pack(anc_lvl[sel], anc_coord)
                 pos = np.searchsorted(key_index, keys)
                 pos_c = np.clip(pos, 0, len(key_index) - 1)
