@@ -1,0 +1,55 @@
+"""Headline benchmark: 3D degree-4 Laplace vmult throughput on the quadrant
+AMR geometry (the reference's flagship experiment, benchmark_03.h:382-532).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: 1.0 GDoF/s/chip (BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import dealii_matrixfree_hanging_nodes_tpu as mfhn
+    from dealii_matrixfree_hanging_nodes_tpu.matrix_free import MatrixFree
+    from dealii_matrixfree_hanging_nodes_tpu.models.laplace import LaplaceOperator
+
+    nref = int(os.environ.get("BENCH_NREF", "6"))
+    degree = int(os.environ.get("BENCH_DEGREE", "4"))
+    n_reps = int(os.environ.get("BENCH_REPS", "100"))
+
+    tria = mfhn.create_quadrant(3, nref)
+    mf = MatrixFree(tria, degree=degree, dtype=np.float32)
+    op = LaplaceOperator(mf)
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.standard_normal(mf.n_dofs), dtype=jnp.float32)
+
+    r = op.vmult(src)
+    r.block_until_ready()  # compile
+    t0 = time.perf_counter()
+    for _ in range(n_reps):
+        r = op.vmult(src)
+    r.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_reps
+
+    gdofs = mf.n_dofs / dt / 1e9
+    print(
+        json.dumps(
+            {
+                "metric": "laplace_vmult_p4_quadrant_throughput",
+                "value": round(gdofs, 4),
+                "unit": "GDoF/s/chip",
+                "vs_baseline": round(gdofs / 1.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,169 @@
+"""Distributed matrix-free operator over a jax.sharding.Mesh (capability C9).
+
+TPU-native replacement for the reference's MPI stack
+(LinearAlgebra::distributed::Vector + partitioner ghost exchange inside
+MatrixFree::cell_loop, benchmark_02.cc:122-209):
+
+- cells are partitioned into contiguous Morton ranges per chip (partition.py),
+- global DoFs are renumbered owner-major so each chip's owned dofs are one
+  contiguous, equal-padded shard,
+- vmult runs under shard_map: all_gather of the owned shards (ghost update)
+  -> local gather / HN interpolation / cell kernel / transpose HN -> local
+  scatter-add -> psum_scatter (the reverse-halo compress(add)).
+
+The collectives ride ICI; `perform_communication=False` swaps them for
+identity ops, reproducing the reference's no-comm ablation
+(benchmark_02.cc:204-209). Per-rank ghost/import counts are recorded like the
+partitioner statistics dumped to CSV at benchmark_02.cc:136-165.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..matrix_free import MatrixFree
+from ..ops.hanging_nodes import apply_hanging_node_constraints
+from ..ops.sum_factorization import evaluate_gradients, integrate_gradients
+from .partition import dof_owners, partition_cells
+
+__all__ = ["DistributedLaplace"]
+
+
+class DistributedLaplace:
+    """Laplace vmult sharded over a 1D device mesh axis ("cells")."""
+
+    def __init__(
+        self,
+        mf: MatrixFree,
+        devices=None,
+        weights=None,
+        perform_communication: bool = True,
+        axis_name: str = "cells",
+    ):
+        self.mf = mf
+        devices = devices if devices is not None else jax.devices()
+        self.n_ranks = len(devices)
+        self.axis_name = axis_name
+        self.mesh = Mesh(np.array(devices), (axis_name,))
+        self.perform_communication = perform_communication
+        self._setup(weights)
+        self._build_step()
+
+    # ------------------------------------------------------------ setup
+    def _setup(self, weights):
+        mf, R = self.mf, self.n_ranks
+        n_cells, n_dofs = mf.n_cells, mf.n_dofs
+        dofmap = np.asarray(mf.dofmap)  # fast map (masters), int32
+        masks = np.asarray(mf.masks)
+        geo = np.asarray(mf.geo)
+
+        self.rank_of_cell = partition_cells(n_cells, R, weights)
+        owner = dof_owners(np.asarray(mf.dofmap_plain), self.rank_of_cell, n_dofs)
+        # every dof must be referenced by some cell
+        assert owner.max() < R
+
+        # owner-major renumbering with equal padding per rank
+        order = np.lexsort((np.arange(n_dofs), owner))
+        n_own = np.bincount(owner, minlength=R)
+        self.n_own = n_own
+        n_own_max = int(n_own.max())
+        self.n_own_max = n_own_max
+        slot_in_rank = np.concatenate([np.arange(c) for c in n_own])
+        padded_id = np.empty(n_dofs, dtype=np.int64)
+        padded_id[order] = owner[order] * n_own_max + slot_in_rank
+        self.padded_id = padded_id  # old dof id -> padded global id
+        self.n_padded = R * n_own_max
+
+        # per-rank padded cell arrays
+        counts = np.bincount(self.rank_of_cell, minlength=R)
+        n_cell_max = int(counts.max())
+        self.n_cell_max = n_cell_max
+        n_loc = dofmap.shape[1]
+        dm = np.zeros((R, n_cell_max, n_loc), dtype=np.int32)
+        mk = np.zeros((R, n_cell_max), dtype=np.int32)
+        ge = np.zeros((R, n_cell_max) + geo.shape[1:], dtype=geo.dtype)
+        self.local_index_of_cell = np.zeros(n_cells, dtype=np.int64)
+        for r in range(R):
+            sel = np.nonzero(self.rank_of_cell == r)[0]
+            dm[r, : len(sel)] = padded_id[dofmap[sel]]
+            mk[r, : len(sel)] = masks[sel]
+            ge[r, : len(sel)] = geo[sel]  # pad cells keep geo=0 => no output
+            self.local_index_of_cell[sel] = np.arange(len(sel))
+
+        self.dofmap_r = jnp.asarray(dm)
+        self.masks_r = jnp.asarray(mk)
+        self.geo_r = jnp.asarray(ge)
+
+        # ghost / import statistics (benchmark_02.cc:136-165 analog)
+        self.n_ghost = np.zeros(R, dtype=np.int64)
+        referenced_by = [set() for _ in range(R)]
+        for r in range(R):
+            sel = self.rank_of_cell == r
+            refs = np.unique(np.asarray(mf.dofmap_plain)[sel])
+            self.n_ghost[r] = int(np.count_nonzero(owner[refs] != r))
+            for rr in np.unique(owner[refs]):
+                if rr != r:
+                    referenced_by[rr].update(refs[owner[refs] == rr].tolist())
+        self.n_import = np.array([len(s) for s in referenced_by], dtype=np.int64)
+
+    # ------------------------------------------------------------ step
+    def _build_step(self):
+        mf = self.mf
+        dim = mf.dim
+        ax = self.axis_name
+        comm = self.perform_communication
+
+        def local_vmult(src_own, dofmap, masks, geo):
+            # src_own: [1, n_own_max] local shard; squeeze rank axis
+            src_own = src_own[0]
+            dofmap, masks, geo = dofmap[0], masks[0], geo[0]
+            if comm:
+                full = jax.lax.all_gather(src_own, ax, tiled=True)
+            else:
+                # no-comm ablation: pretend the local shard tiles the domain
+                full = jnp.tile(src_own, self.n_ranks)
+            u = full[dofmap]
+            u = apply_hanging_node_constraints(u, masks, mf.P, dim, False)
+            g = evaluate_gradients(u, mf.S, mf.Dc, dim)
+            g = g * geo[:, :, None] * mf.quad_w[None, None, :]
+            v = integrate_gradients(g, mf.S, mf.Dc, dim)
+            v = apply_hanging_node_constraints(v, masks, mf.P, dim, True)
+            contrib = jnp.zeros(self.n_padded, dtype=v.dtype)
+            contrib = contrib.at[dofmap.reshape(-1)].add(v.reshape(-1))
+            if comm:
+                own = jax.lax.psum_scatter(contrib, ax, scatter_dimension=0, tiled=True)
+            else:
+                own = contrib[: self.n_own_max]
+            return own[None, :]
+
+        spec = P(ax)
+        self._vmult = jax.jit(
+            jax.shard_map(
+                local_vmult,
+                mesh=self.mesh,
+                in_specs=(spec, spec, spec, spec),
+                out_specs=spec,
+            )
+        )
+
+    # ------------------------------------------------------------ api
+    def scatter_vector(self, u: np.ndarray) -> jnp.ndarray:
+        """Old-numbering global vector -> sharded padded vector [R, n_own_max]."""
+        out = np.zeros(self.n_padded, dtype=self.mf.dtype)
+        out[self.padded_id] = u
+        arr = out.reshape(self.n_ranks, self.n_own_max)
+        return jax.device_put(
+            arr, jax.sharding.NamedSharding(self.mesh, P(self.axis_name))
+        )
+
+    def gather_vector(self, v: jnp.ndarray) -> np.ndarray:
+        """Sharded padded vector -> old-numbering global vector."""
+        return np.asarray(v).reshape(-1)[self.padded_id]
+
+    def vmult(self, src_sharded: jnp.ndarray) -> jnp.ndarray:
+        return self._vmult(src_sharded, self.dofmap_r, self.masks_r, self.geo_r)

@@ -1,0 +1,83 @@
+import numpy as np
+import jax
+import pytest
+
+import dealii_matrixfree_hanging_nodes_tpu as mfhn
+from dealii_matrixfree_hanging_nodes_tpu.matrix_free import MatrixFree
+from dealii_matrixfree_hanging_nodes_tpu.models.laplace import LaplaceOperator
+from dealii_matrixfree_hanging_nodes_tpu.parallel.distributed import DistributedLaplace
+from dealii_matrixfree_hanging_nodes_tpu.parallel.partition import (
+    dof_owners,
+    hanging_nodes_weighting,
+    partition_cells,
+)
+
+
+def test_partition_balanced():
+    rank = partition_cells(1000, 8)
+    counts = np.bincount(rank, minlength=8)
+    assert counts.sum() == 1000
+    assert counts.max() - counts.min() <= 1
+    # weighted: heavy tail cells shrink late ranks' cell counts
+    w = np.ones(1000)
+    w[900:] = 100.0
+    rank_w = partition_cells(1000, 8, w)
+    assert np.all(np.diff(rank_w) >= 0)  # contiguous ranges
+    counts_w = np.bincount(rank_w, minlength=8)
+    assert counts_w[-1] < counts_w[0]
+
+
+def test_weighting_formula():
+    c = np.array([True, False])
+    w = hanging_nodes_weighting(c, 3.0)
+    assert w[0] == 31.0 and w[1] == 11.0
+
+
+def test_distributed_matches_single_chip():
+    """Multi-chip vmult == single-chip to machine precision — the TPU analog
+    of the reference's -np 1 vs -np 40 redundancy (benchmark_01.cc:251-272)."""
+    t = mfhn.create_quadrant(3, 3)
+    mf = MatrixFree(t, 2, dtype=np.float64)
+    op = LaplaceOperator(mf)
+    rng = np.random.default_rng(0)
+    src = rng.standard_normal(mf.n_dofs)
+    ref = np.asarray(op.vmult(src))
+    for n_dev in (1, 4, 8):
+        dop = DistributedLaplace(mf, devices=jax.devices()[:n_dev])
+        got = dop.gather_vector(dop.vmult(dop.scatter_vector(src)))
+        assert np.abs(got - ref).max() < 1e-12 * np.abs(ref).max(), n_dev
+
+
+def test_distributed_weighted_repartition():
+    t = mfhn.create_quadrant(3, 3)
+    mf = MatrixFree(t, 2, dtype=np.float64)
+    rng = np.random.default_rng(1)
+    src = rng.standard_normal(mf.n_dofs)
+    ref = np.asarray(LaplaceOperator(mf).vmult(src))
+    w = hanging_nodes_weighting(mf.constraints.is_constrained_cell(), 7.5)
+    dop = DistributedLaplace(mf, weights=w)
+    got = dop.gather_vector(dop.vmult(dop.scatter_vector(src)))
+    assert np.abs(got - ref).max() < 1e-12 * np.abs(ref).max()
+    # ghost/import bookkeeping is self-consistent
+    assert dop.n_ghost.sum() > 0
+    assert dop.n_import.sum() > 0
+
+
+def test_dof_owners_cover():
+    t = mfhn.create_quadrant(2, 3)
+    mf = MatrixFree(t, 2, dtype=np.float64)
+    rank = partition_cells(mf.n_cells, 4)
+    owner = dof_owners(np.asarray(mf.dofmap_plain), rank, mf.n_dofs)
+    assert owner.min() >= 0 and owner.max() < 4
+
+
+def test_graft_entry_dryrun():
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = fn(*args)
+    assert np.isfinite(np.asarray(out)).all()
+    ge.dryrun_multichip(8)
