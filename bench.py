@@ -30,12 +30,17 @@ def main():
     rng = np.random.default_rng(0)
     src = jnp.asarray(rng.standard_normal(mf.n_dofs), dtype=jnp.float32)
 
+    # Honest timing on remote/tunneled backends: block_until_ready can return
+    # before execution completes, so (a) chain each rep on the previous result
+    # and (b) close with a device-to-host fetch, which is a true sync point.
+    scale = jnp.float32(1e-3)
     r = op.vmult(src)
-    r.block_until_ready()  # compile
+    _ = np.asarray(r[:1])  # compile + sync
+    x = src
     t0 = time.perf_counter()
     for _ in range(n_reps):
-        r = op.vmult(src)
-    r.block_until_ready()
+        x = op.vmult(x * scale)
+    _ = np.asarray(x[:1])
     dt = (time.perf_counter() - t0) / n_reps
 
     gdofs = mf.n_dofs / dt / 1e9

@@ -114,31 +114,55 @@ class MatrixFree:
     def initialize_dof_vector(self, fill=0.0) -> jnp.ndarray:
         return jnp.full((self.n_dofs,), fill, dtype=self.dtype)
 
+    @property
+    def arrays(self) -> dict:
+        """All device tensors as one pytree, to be passed as jit ARGUMENTS.
+
+        Closing over multi-MB arrays embeds them as constants in the HLO,
+        which explodes compile time and can defeat fast gather paths — always
+        thread this pytree through jitted entry points instead.
+        """
+        return dict(
+            dofmap=self.dofmap,
+            dofmap_plain=self.dofmap_plain,
+            masks=self.masks,
+            hn_idx=self.hn_idx,
+            hn_masks=self.hn_masks,
+            geo=self.geo,
+            S=self.S,
+            D=self.D,
+            Dc=self.Dc,
+            P=self.P,
+            quad_w=self.quad_w,
+            slow=self._slow,
+        )
+
     # ---- fast hanging-node application (C2) ---------------------------
-    def apply_hanging_node_constraints(self, u: jnp.ndarray, transpose: bool):
+    def apply_hanging_node_constraints(self, u: jnp.ndarray, transpose: bool, arrays=None):
         """In-register HN interpolation on cell-local values [n_cells, n_loc]."""
+        a = arrays if arrays is not None else self.arrays
         if self.n_hn_cells == 0:
             return u
         if self.hn_mode == "all":
             return apply_hanging_node_constraints(
-                u, self.masks, self.P, self.dim, transpose
+                u, a["masks"], a["P"], self.dim, transpose
             )
         if self.hn_mode == "sorted":
             head, tail = u[: self._first_hn], u[self._first_hn :]
             tail = apply_hanging_node_constraints(
-                tail, self.masks[self._first_hn :], self.P, self.dim, transpose
+                tail, a["masks"][self._first_hn :], a["P"], self.dim, transpose
             )
             return jnp.concatenate([head, tail], axis=0)
-        sub = u[self.hn_idx]
+        sub = u[a["hn_idx"]]
         sub = apply_hanging_node_constraints(
-            sub, self.hn_masks, self.P, self.dim, transpose
+            sub, a["hn_masks"], a["P"], self.dim, transpose
         )
-        return u.at[self.hn_idx].set(sub)
+        return u.at[a["hn_idx"]].set(sub)
 
     # ---- slow-path constraint resolution on the global vector (C5) ----
-    def distribute_slow(self, src: jnp.ndarray) -> jnp.ndarray:
+    def distribute_slow(self, src: jnp.ndarray, arrays=None) -> jnp.ndarray:
         """u[slave] <- sum w * u[master] (AffineConstraints::distribute)."""
-        s = self._slow
+        s = (arrays or self.arrays)["slow"]
         if s["slave"].shape[0] == 0:
             return src
         vals = jax.ops.segment_sum(
@@ -146,9 +170,9 @@ class MatrixFree:
         )
         return src.at[s["slave"]].set(vals)
 
-    def compress_slow(self, dst: jnp.ndarray) -> jnp.ndarray:
+    def compress_slow(self, dst: jnp.ndarray, arrays=None) -> jnp.ndarray:
         """Fold slave rows into masters (C^T), zeroing slave entries."""
-        s = self._slow
+        s = (arrays or self.arrays)["slow"]
         if s["slave"].shape[0] == 0:
             return dst
         contrib = dst[s["slave"]]
@@ -156,40 +180,44 @@ class MatrixFree:
         return dst.at[s["col"]].add(s["w"] * contrib[s["row"]])
 
     # ---- gather / scatter (C4) ----------------------------------------
-    def read_dof_values_plain(self, src: jnp.ndarray, slow: bool = False):
-        dofmap = self.dofmap_plain if slow else self.dofmap
-        return src[dofmap]
+    def read_dof_values_plain(self, src: jnp.ndarray, slow: bool = False, arrays=None):
+        a = arrays if arrays is not None else self.arrays
+        return src[a["dofmap_plain"] if slow else a["dofmap"]]
 
-    def read_dof_values(self, src: jnp.ndarray, slow: bool = False):
+    def read_dof_values(self, src: jnp.ndarray, slow: bool = False, arrays=None):
+        a = arrays if arrays is not None else self.arrays
         if slow:
-            return self.distribute_slow(src)[self.dofmap_plain]
-        return self.apply_hanging_node_constraints(src[self.dofmap], False)
+            return self.distribute_slow(src, a)[a["dofmap_plain"]]
+        return self.apply_hanging_node_constraints(src[a["dofmap"]], False, a)
 
     def distribute_local_to_global_plain(
-        self, u: jnp.ndarray, slow: bool = False
+        self, u: jnp.ndarray, slow: bool = False, arrays=None
     ) -> jnp.ndarray:
-        dofmap = self.dofmap_plain if slow else self.dofmap
+        a = arrays if arrays is not None else self.arrays
+        dofmap = a["dofmap_plain"] if slow else a["dofmap"]
         dst = jnp.zeros(self.n_dofs, dtype=u.dtype)
         return dst.at[dofmap.reshape(-1)].add(u.reshape(-1))
 
-    def distribute_local_to_global(self, u: jnp.ndarray, slow: bool = False):
+    def distribute_local_to_global(self, u: jnp.ndarray, slow: bool = False, arrays=None):
+        a = arrays if arrays is not None else self.arrays
         if slow:
             dst = jnp.zeros(self.n_dofs, dtype=u.dtype)
-            dst = dst.at[self.dofmap_plain.reshape(-1)].add(u.reshape(-1))
-            return self.compress_slow(dst)
-        u = self.apply_hanging_node_constraints(u, True)
+            dst = dst.at[a["dofmap_plain"].reshape(-1)].add(u.reshape(-1))
+            return self.compress_slow(dst, a)
+        u = self.apply_hanging_node_constraints(u, True, a)
         dst = jnp.zeros(self.n_dofs, dtype=u.dtype)
-        return dst.at[self.dofmap.reshape(-1)].add(u.reshape(-1))
+        return dst.at[a["dofmap"].reshape(-1)].add(u.reshape(-1))
 
     # ---- cell loop (C7) ------------------------------------------------
     def cell_loop(self, cell_kernel, src: jnp.ndarray, *, constraints=True,
-                  slow: bool = False) -> jnp.ndarray:
+                  slow: bool = False, arrays=None) -> jnp.ndarray:
         """dst = scatter(kernel(gather(src))) — one fused jittable program."""
+        a = arrays if arrays is not None else self.arrays
         if constraints:
-            u = self.read_dof_values(src, slow=slow)
+            u = self.read_dof_values(src, slow=slow, arrays=a)
         else:
-            u = self.read_dof_values_plain(src, slow=slow)
-        v = cell_kernel(u)
+            u = self.read_dof_values_plain(src, slow=slow, arrays=a)
+        v = cell_kernel(u, a)
         if constraints:
-            return self.distribute_local_to_global(v, slow=slow)
-        return self.distribute_local_to_global_plain(v, slow=slow)
+            return self.distribute_local_to_global(v, slow=slow, arrays=a)
+        return self.distribute_local_to_global_plain(v, slow=slow, arrays=a)

@@ -1,6 +1,10 @@
 """Matrix-free Laplace operator (benchmark_03.h:210-358 analog — both the
 host LaplaceOperator and the CUDA LaplaceOperatorLocal/Quad functors collapse
-into this one jitted cell kernel on TPU)."""
+into this one jitted cell kernel on TPU).
+
+All device tensors are threaded through the jitted program as arguments
+(mf.arrays pytree) — closing over them would embed multi-MB constants in the
+HLO and explode compile time."""
 
 from __future__ import annotations
 
@@ -14,7 +18,7 @@ __all__ = ["LaplaceOperator", "laplace_cell_kernel"]
 
 
 def laplace_cell_kernel(mf: MatrixFree):
-    """Per-cell-batch quadrature kernel: u_loc -> v_loc.
+    """Per-cell-batch quadrature kernel (u_loc, arrays) -> v_loc.
 
     evaluate(gradients) → submit_gradient(geo * get_gradient) →
     integrate(gradients), sum-factorized (benchmark_01.h:600-608).
@@ -23,28 +27,24 @@ def laplace_cell_kernel(mf: MatrixFree):
 
     if not mf.high_order_mapping:
 
-        def kernel(u):
-            g = evaluate_gradients(u, mf.S, mf.Dc, dim)  # [c, dim, nq]
-            g = g * mf.geo[:, :, None] * mf.quad_w[None, None, :]
-            return integrate_gradients(g, mf.S, mf.Dc, dim)
+        def kernel(u, a):
+            g = evaluate_gradients(u, a["S"], a["Dc"], dim)  # [c, dim, nq]
+            g = g * a["geo"][:, :, None] * a["quad_w"][None, None, :]
+            return integrate_gradients(g, a["S"], a["Dc"], dim)
 
         return kernel
 
     # deformed mapping: per-quad-point symmetric metric (packed upper triangle)
-    iu, ju = [], []
-    for a in range(dim):
-        for b in range(a, dim):
-            iu.append(a)
-            ju.append(b)
+    pairs = [(x, y) for x in range(dim) for y in range(x, dim)]
 
-    def kernel(u):
-        g = evaluate_gradients(u, mf.S, mf.Dc, dim)
+    def kernel(u, a):
+        g = evaluate_gradients(u, a["S"], a["Dc"], dim)
         out = [jnp.zeros_like(g[:, 0]) for _ in range(dim)]
-        for k, (a, b) in enumerate(zip(iu, ju)):
-            out[a] = out[a] + mf.geo[:, :, k] * g[:, b]
-            if a != b:
-                out[b] = out[b] + mf.geo[:, :, k] * g[:, a]
-        return integrate_gradients(jnp.stack(out, axis=1), mf.S, mf.Dc, dim)
+        for k, (x, y) in enumerate(pairs):
+            out[x] = out[x] + a["geo"][:, :, k] * g[:, y]
+            if x != y:
+                out[y] = out[y] + a["geo"][:, :, k] * g[:, x]
+        return integrate_gradients(jnp.stack(out, axis=1), a["S"], a["Dc"], dim)
 
     return kernel
 
@@ -58,13 +58,16 @@ class LaplaceOperator:
         self.slow = slow
         kernel = laplace_cell_kernel(mf)
 
-        def _vmult(src):
-            return mf.cell_loop(kernel, src, constraints=constraints, slow=slow)
+        def _vmult(src, arrays):
+            return mf.cell_loop(
+                kernel, src, constraints=constraints, slow=slow, arrays=arrays
+            )
 
-        self._vmult = jax.jit(_vmult)
+        self._jit = jax.jit(_vmult)
+        self._arrays = mf.arrays
 
     def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
-        return self._vmult(src)
+        return self._jit(src, self._arrays)
 
     def __call__(self, src: jnp.ndarray) -> jnp.ndarray:
-        return self._vmult(src)
+        return self.vmult(src)
