@@ -1,0 +1,104 @@
+"""benchmark_02 — load balancing of hanging-node cells (reference:
+benchmark_02.cc).
+
+Sweeps the hanging-node cell weight w in [1.0, 10.0] (step 0.1 by default),
+repartitions the Morton SFC with the weighted policy
+(hanging_nodes_weighting, benchmark_02.cc:17-34), and times the full
+distributed cell_loop vmult on the device mesh. Per-weight, dumps the
+per-rank ghost/import index counts and min/max/avg cell counts to CSV
+(benchmark_02.cc:136-165). Options mirror the reference: --no-comm elides
+the collectives (benchmark_02.cc:204-209), --slow uses the legacy constraint
+algorithm path.
+
+  python benchmarks/benchmark_02.py [geometry] [n_ref] [degree] [csv_prefix]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import jax
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import dealii_matrixfree_hanging_nodes_tpu as mfhn
+from dealii_matrixfree_hanging_nodes_tpu.matrix_free import MatrixFree
+from dealii_matrixfree_hanging_nodes_tpu.parallel.distributed import DistributedLaplace
+from dealii_matrixfree_hanging_nodes_tpu.parallel.partition import (
+    hanging_nodes_weighting,
+)
+from dealii_matrixfree_hanging_nodes_tpu.utils.table import ConvergenceTable
+from dealii_matrixfree_hanging_nodes_tpu.utils.timing import repeat_timed
+
+
+def run(
+    geometry: str = "quadrant",
+    n_refinements: int = 4,
+    degree: int = 2,
+    weights=None,
+    n_reps: int = 100,
+    perform_communication: bool = True,
+    csv_prefix: str | None = None,
+    dim: int = 3,
+    dtype=np.float32,
+):
+    weights = weights if weights is not None else np.arange(1.0, 10.05, 0.1)
+    tria = mfhn.create_geometry(geometry, dim, n_refinements)
+    mf = MatrixFree(tria, degree, dtype=dtype)
+    constrained = mf.constraints.is_constrained_cell()
+    table = ConvergenceTable()
+    rng = np.random.default_rng(0)
+    src0 = rng.standard_normal(mf.n_dofs).astype(dtype)
+
+    csv = open(f"{csv_prefix}.csv", "w") if csv_prefix else None
+    if csv:
+        csv.write("weight,rank,n_cells,n_ghost,n_import,t_min,t_avg,t_max\n")
+
+    for w in weights:
+        cw = hanging_nodes_weighting(constrained, float(w))
+        dop = DistributedLaplace(
+            mf, weights=cw, perform_communication=perform_communication
+        )
+        x0 = dop.scatter_vector(src0)
+        res = repeat_timed(
+            lambda x: dop.vmult(x * np.asarray(1e-3, dtype)),
+            x0,
+            n_reps=n_reps,
+            n_trials=1,
+        )
+        counts = np.bincount(dop.rank_of_cell, minlength=dop.n_ranks)
+        table.add_value("weight", round(float(w), 2))
+        table.add_value("t_min", res.min)
+        table.set_scientific("t_min", True)
+        table.add_value("t_avg", res.avg)
+        table.set_scientific("t_avg", True)
+        table.add_value("max_cells", int(counts.max()))
+        table.add_value("min_cells", int(counts.min()))
+        table.add_value("sum_ghost", int(dop.n_ghost.sum()))
+        table.add_value("sum_import", int(dop.n_import.sum()))
+        if csv:
+            for r in range(dop.n_ranks):
+                csv.write(
+                    f"{w:.2f},{r},{counts[r]},{dop.n_ghost[r]},"
+                    f"{dop.n_import[r]},{res.min},{res.avg},{res.max}\n"
+                )
+        print(table.write_text())
+    if csv:
+        csv.close()
+    return table
+
+
+if __name__ == "__main__":
+    geometry = sys.argv[1] if len(sys.argv) > 1 else "quadrant"
+    n_ref = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    degree = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    prefix = sys.argv[4] if len(sys.argv) > 4 else None
+    run(
+        geometry,
+        n_ref,
+        degree,
+        csv_prefix=prefix,
+        perform_communication="--no-comm" not in sys.argv,
+        weights=np.arange(1.0, 10.05, 0.5) if "--coarse" in sys.argv else None,
+    )

@@ -1,0 +1,78 @@
+"""benchmark_03 — end-to-end Laplace vmult sweep (reference: benchmark_03.h).
+
+For each refinement level in [min_ref, max_ref]: build the geometry, census
+hanging-node cells (the Helper analog via the compressed masks), interpolate
+src = sum_d sin(x_d) at the DoF support points (benchmark_03.h:362-378), and
+time n_reps vmults with and without constraint application, reporting
+min/avg/max like the rank reductions at benchmark_03.h:471-507. The CUDA
+MemorySpace::CUDA path of the reference corresponds to running this on the
+TPU device (the default); MemorySpace::Host corresponds to JAX_PLATFORMS=cpu.
+
+  python benchmarks/benchmark_03.py [geometry] [degree] [min_ref] [max_ref]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import dealii_matrixfree_hanging_nodes_tpu as mfhn
+from dealii_matrixfree_hanging_nodes_tpu.matrix_free import MatrixFree
+from dealii_matrixfree_hanging_nodes_tpu.models.laplace import LaplaceOperator
+from dealii_matrixfree_hanging_nodes_tpu.utils.analytic import interpolate
+from dealii_matrixfree_hanging_nodes_tpu.utils.table import ConvergenceTable
+from dealii_matrixfree_hanging_nodes_tpu.utils.timing import repeat_timed
+
+
+def run(
+    geometry: str = "quadrant",
+    degree: int = 4,
+    min_ref: int = 4,
+    max_ref: int = 7,
+    n_reps: int = 100,
+    dim: int = 3,
+    dtype=np.float32,
+    table=None,
+):
+    table = table if table is not None else ConvergenceTable()
+    for n_ref in range(min_ref, max_ref + 1):
+        tria = mfhn.create_geometry(geometry, dim, n_ref)
+        mf = MatrixFree(tria, degree, dtype=dtype)
+        src = jnp.asarray(interpolate(mf.dof_handler), dtype=mf.dtype)
+        scale = jnp.asarray(1e-3, mf.dtype)
+
+        table.add_value("geometry", geometry)
+        table.add_value("n_ref", n_ref)
+        table.add_value("degree", degree)
+        table.add_value("n_cells", mf.n_cells)
+        table.add_value("n_cells_hn", mf.constraints.n_constrained_cells)
+        table.add_value("n_dofs", mf.n_dofs)
+
+        for constraints, tag in ((True, ""), (False, "_plain")):
+            op = LaplaceOperator(mf, constraints=constraints)
+            res = repeat_timed(
+                lambda x: op.vmult(x * scale), src, n_reps=n_reps, n_trials=3
+            )
+            table.add_value("time_min" + tag, res.min)
+            table.set_scientific("time_min" + tag, True)
+            table.add_value("time_avg" + tag, res.avg)
+            table.set_scientific("time_avg" + tag, True)
+            table.add_value("time_max" + tag, res.max)
+            table.set_scientific("time_max" + tag, True)
+            if constraints:
+                table.add_value("GDoFs_per_s", mf.n_dofs / res.min / 1e9)
+        print(table.write_text())
+    return table
+
+
+if __name__ == "__main__":
+    geometry = sys.argv[1] if len(sys.argv) > 1 else "quadrant"
+    degree = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    min_ref = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    max_ref = int(sys.argv[4]) if len(sys.argv) > 4 else 6
+    run(geometry, degree, min_ref, max_ref)

@@ -1,0 +1,73 @@
+"""Timing and profiling utilities (SURVEY §5 tracing analog).
+
+The reference fences each repetition with MPI_Barrier and reduces min/avg/max
+over ranks (benchmark_01.h:536-575); its hardware-counter path is LIKWID
+markers. Here:
+
+- ``repeat_timed`` measures a jitted step honestly on asynchronous/remote
+  backends: repetitions are chained (each consumes the previous result) and
+  the measurement closes with a device-to-host fetch — the only reliable sync
+  point on tunneled TPU runtimes where block_until_ready can return early.
+- ``trace`` wraps jax.profiler for XPlane traces (the LIKWID-marker analog:
+  per-kernel hardware utilization from the TPU profiler).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import numpy as np
+
+__all__ = ["repeat_timed", "trace", "TimingResult"]
+
+
+class TimingResult:
+    def __init__(self, times):
+        self.times = list(times)
+
+    @property
+    def min(self):
+        return float(np.min(self.times))
+
+    @property
+    def max(self):
+        return float(np.max(self.times))
+
+    @property
+    def avg(self):
+        return float(np.mean(self.times))
+
+    def __repr__(self):
+        return f"TimingResult(min={self.min:.4e}, avg={self.avg:.4e}, max={self.max:.4e})"
+
+
+def repeat_timed(step, x0, n_reps: int = 100, n_trials: int = 3) -> TimingResult:
+    """Time ``x = step(x)`` chains; returns per-rep seconds over trials.
+
+    step must map a device array to a like-shaped device array. The chain is
+    re-seeded from x0 each trial; each trial ends with a host fetch.
+    """
+    x = step(x0)
+    _ = np.asarray(x).ravel()[:1]  # compile + hard sync
+    times = []
+    for _trial in range(n_trials):
+        x = x0
+        t0 = time.perf_counter()
+        for _ in range(n_reps):
+            x = step(x)
+        _ = np.asarray(x).ravel()[:1]
+        times.append((time.perf_counter() - t0) / n_reps)
+    return TimingResult(times)
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/mfhn-trace"):
+    """Profiler region (LIKWID_MARKER_START/STOP analog) -> XPlane trace."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
