@@ -1,0 +1,122 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import dealii_matrixfree_hanging_nodes_tpu as mfhn
+from dealii_matrixfree_hanging_nodes_tpu.matrix_free import MatrixFree
+from dealii_matrixfree_hanging_nodes_tpu.models.multigrid import (
+    ChebyshevSmoother,
+    DirichletLaplace,
+    GMGPreconditioner,
+    Transfer,
+    operator_diagonal,
+    solve_cg,
+)
+
+
+def _dirichlet_setup(nref=3, p=2, dim=3, geo="quadrant"):
+    t = mfhn.create_geometry(geo, dim, nref)
+    mf = MatrixFree(t, p, dtype=np.float64)
+    return mf, DirichletLaplace(mf)
+
+
+def test_diagonal_matches_oracle():
+    from dealii_matrixfree_hanging_nodes_tpu.oracle import assemble_laplace
+
+    t = mfhn.create_quadrant(3, 3)
+    mf = MatrixFree(t, 2, dtype=np.float64)
+    op = DirichletLaplace(mf)
+    diag = np.asarray(operator_diagonal(op, mf))
+    A, C, dh, ci = assemble_laplace(t, 2)
+    ref = np.asarray((C.T @ A @ C).diagonal())
+    assert np.abs(diag - ref).max() < 1e-11 * max(1, np.abs(ref).max())
+
+
+def test_dirichlet_operator_spd():
+    mf, op = _dirichlet_setup()
+    rng = np.random.default_rng(0)
+    hanging = mf.constraints.constrained_dof_marker()
+    x = rng.standard_normal(mf.n_dofs)
+    x[hanging] = 0.0
+    y = rng.standard_normal(mf.n_dofs)
+    y[hanging] = 0.0
+    Ax = np.asarray(op.vmult(jnp.asarray(x)))
+    Ay = np.asarray(op.vmult(jnp.asarray(y)))
+    assert abs((Ax * y).sum() - (x * Ay).sum()) < 1e-9 * abs((Ax * y).sum())
+    # positive on the constrained-free subspace
+    z = x.copy()
+    z[np.asarray(op.bdofs)] = 0.0
+    Az = np.asarray(op.vmult(jnp.asarray(z)))
+    assert (z * Az).sum() >= -1e-10
+
+
+def test_cg_solves_poisson():
+    mf, op = _dirichlet_setup(nref=3, p=2)
+    rng = np.random.default_rng(1)
+    xstar = rng.standard_normal(mf.n_dofs)
+    xstar = mf.constraints.distribute(xstar)  # consistent hanging values
+    xstar = np.asarray(jnp.asarray(xstar).at[op.bdofs].set(0.0))
+    b = op.vmult(jnp.asarray(xstar))
+    x, iters, res = solve_cg(op, b, tol=1e-10, max_iter=2000)
+    # compare on the unconstrained dofs (solution unique there)
+    free = ~mf.constraints.constrained_dof_marker()
+    err = np.abs(np.asarray(x)[free] - xstar[free]).max()
+    assert err < 1e-6, (iters, res, err)
+
+
+def test_chebyshev_smoother_reduces_residual():
+    mf, op = _dirichlet_setup(nref=3, p=2)
+    diag = operator_diagonal(op, mf).at[op.bdofs].set(1.0)
+    sm = ChebyshevSmoother(op, diag, degree=4)
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal(mf.n_dofs)
+    b[mf.constraints.constrained_dof_marker()] = 0.0
+    b = np.asarray(op.project_rhs(jnp.asarray(b)))
+    x = sm.apply(jnp.asarray(b))
+    r = np.linalg.norm(np.asarray(op.vmult(x)) - b)
+    assert r < np.linalg.norm(b)
+
+
+def test_transfer_adjoint_and_poly_reproduction():
+    t_c = mfhn.create_quadrant(3, 2)
+    t_f = mfhn.create_quadrant(3, 3)
+    p = 2
+    mfc = MatrixFree(t_c, p, dtype=np.float64)
+    mff = MatrixFree(t_f, p, dtype=np.float64)
+    tr = Transfer(mfc, mff)
+    rng = np.random.default_rng(3)
+    # adjointness <P xc, yf> == <xc, R yf>
+    xc = rng.standard_normal(mfc.n_dofs)
+    yf = rng.standard_normal(mff.n_dofs)
+    Pz = np.asarray(tr.prolongate(jnp.asarray(xc)))
+    Ry = np.asarray(tr.restrict(jnp.asarray(yf)))
+    lhs, rhs = (Pz * yf).sum(), (xc * Ry).sum()
+    assert abs(lhs - rhs) < 1e-10 * max(1, abs(lhs))
+    # polynomial reproduction: interpolant of a degree-p polynomial prolongates
+    # to the fine interpolant of the same polynomial
+    pts_c = mfc.dof_handler.support_points()
+    pts_f = mff.dof_handler.support_points()
+    coef = rng.standard_normal((3, p + 1))
+    fc = np.ones(len(pts_c))
+    ff = np.ones(len(pts_f))
+    for d in range(3):
+        fc *= np.polyval(coef[d], pts_c[:, d])
+        ff *= np.polyval(coef[d], pts_f[:, d])
+    got = np.asarray(tr.prolongate(jnp.asarray(fc)))
+    # hanging fine dofs carry distributed (interpolated) values == ff as well
+    assert np.abs(got - ff).max() < 1e-9 * max(1.0, np.abs(ff).max())
+
+
+def test_gmg_preconditioned_cg_converges_fast():
+    gmg = GMGPreconditioner("quadrant", 3, 3, 2, n_smooth=3)
+    op = gmg.fine_op
+    mf = gmg.fine_mf
+    rng = np.random.default_rng(4)
+    xstar = mf.constraints.distribute(rng.standard_normal(mf.n_dofs))
+    xstar = np.asarray(jnp.asarray(xstar).at[op.bdofs].set(0.0))
+    b = op.vmult(jnp.asarray(xstar))
+    x, iters, res = solve_cg(op, b, M=gmg, tol=1e-10, max_iter=100)
+    free = ~mf.constraints.constrained_dof_marker()
+    err = np.abs(np.asarray(x)[free] - xstar[free]).max()
+    assert err < 1e-6
+    assert iters < 30, iters  # GMG should converge in O(10) iterations
