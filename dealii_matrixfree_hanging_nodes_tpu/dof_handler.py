@@ -84,17 +84,24 @@ class DoFHandler:
             key2 = (key2 << np.int64(19)) | marker_a
 
         flat1, flat2 = key1.ravel(), key2.ravel()
-        order = np.lexsort((flat2, flat1))
-        s1, s2 = flat1[order], flat2[order]
-        new_group = np.empty(len(s1), dtype=bool)
-        new_group[0] = True
-        new_group[1:] = (np.diff(s1) != 0) | (np.diff(s2) != 0)
-        gid_sorted = np.cumsum(new_group) - 1
-        gids = np.empty(len(flat1), dtype=np.int64)
-        gids[order] = gid_sorted
+        from . import native
+
+        res = native.dof_unique(flat1, flat2)
+        if res is not None:
+            gids, n_dofs = res
+        else:
+            order = np.lexsort((flat2, flat1))
+            s1, s2 = flat1[order], flat2[order]
+            new_group = np.empty(len(s1), dtype=bool)
+            new_group[0] = True
+            new_group[1:] = (np.diff(s1) != 0) | (np.diff(s2) != 0)
+            gid_sorted = np.cumsum(new_group) - 1
+            gids = np.empty(len(flat1), dtype=np.int64)
+            gids[order] = gid_sorted
+            n_dofs = int(gid_sorted[-1]) + 1
 
         self.cell_dofs = gids.reshape(n_cells, n_loc)
-        self.n_dofs = int(gid_sorted[-1]) + 1
+        self.n_dofs = n_dofs
         self._lat = lat
 
     # ------------------------------------------------------------------

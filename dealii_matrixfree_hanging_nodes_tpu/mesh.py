@@ -158,6 +158,15 @@ class Triangulation:
         K's own level, if the slot is covered by an active ancestor at level
         <= l-2, that ancestor violates 1-irregularity and is refined.
         """
+        from . import native
+
+        flags = native.balance_flags(self.dim, self.level, self.coord)
+        if flags is not None:
+            if flags.any():
+                self._split(flags)
+                return True
+            return False
+
         offsets = self._balance_offsets()
         lmax = int(self.level.max())
         to_refine = np.zeros(self.n_active_cells, dtype=bool)

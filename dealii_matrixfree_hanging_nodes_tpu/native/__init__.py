@@ -1,0 +1,105 @@
+"""ctypes loader for the native setup core (graceful NumPy fallback).
+
+Builds lazily with make on first import if a compiler is available; the pure
+NumPy implementations in mesh.py / dof_handler.py are used when the shared
+library cannot be built or loaded.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_LIB_PATH = os.path.join(_HERE, "libmfhn_setup.so")
+
+_lib = None
+
+
+def _try_build() -> None:
+    src = os.path.join(_HERE, "setup_core.cc")
+    if not os.path.exists(src):
+        return
+    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src):
+        return
+    try:
+        subprocess.run(
+            ["make", "-s", "-C", _HERE],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        pass
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    _try_build()
+    if not os.path.exists(_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.hn_balance_flags.restype = ctypes.c_int64
+        lib.hn_balance_flags.argtypes = [
+            ctypes.c_int32,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.hn_dof_unique.restype = ctypes.c_int64
+        lib.hn_dof_unique.argtypes = [
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _ptr(a, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def balance_flags(dim: int, level: np.ndarray, coord: np.ndarray):
+    """One 2:1-balance sweep; returns bool flags or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(level)
+    level = np.ascontiguousarray(level, dtype=np.int64)
+    coord = np.ascontiguousarray(coord, dtype=np.int64)
+    flags = np.zeros(n, dtype=np.uint8)
+    lib.hn_balance_flags(
+        dim, n, _ptr(level, ctypes.c_int64), _ptr(coord, ctypes.c_int64),
+        _ptr(flags, ctypes.c_uint8)
+    )
+    return flags.astype(bool)
+
+
+def dof_unique(key1: np.ndarray, key2: np.ndarray):
+    """Dense ids for sorted-unique (key1,key2); returns (gids, n_dofs) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    key1 = np.ascontiguousarray(key1, dtype=np.int64)
+    key2 = np.ascontiguousarray(key2, dtype=np.int64)
+    gids = np.empty(len(key1), dtype=np.int64)
+    n_dofs = lib.hn_dof_unique(
+        len(key1), _ptr(key1, ctypes.c_int64), _ptr(key2, ctypes.c_int64),
+        _ptr(gids, ctypes.c_int64)
+    )
+    return gids, int(n_dofs)
