@@ -1,0 +1,664 @@
+"""Brick execution engine — the TPU-native data layout for the hot vmult.
+
+Motivation (measured on TPU v5e): XLA's element-wise gather/scatter runs at
+~0.14 Gelem/s, two orders of magnitude under HBM bandwidth, so the classic
+"global vector + per-cell index gather" formulation (deal.II's layout, and
+our MatrixFree default) is hopelessly memory-system-bound on TPU. Static
+strided slices, dense matmuls, and wide row-copies DO run at speed. The
+brick engine therefore re-lays the vector as dense per-brick node arrays:
+
+- Cells are grouped into Morton-aligned, level-uniform bricks of B^dim cells
+  (default B=4). A brick stores the (B*p+1)^dim nodes of its cell block,
+  duplicating nodes shared with other bricks.
+- ``BrickVector`` invariant: duplicated conforming nodes are equal, hanging
+  nodes hold their *distributed* (coarse-interpolated) values. All linear
+  vector ops preserve the invariant; dot products use a per-dof owner mask.
+- vmult: im2col (125 static strided slices) -> per-cell kernel (dense MXU
+  matmul for Cartesian cells) -> hanging-node transpose on the constrained
+  subset -> mask-grouped row transfers folding constrained-slot values into
+  the coarse neighbor's cell columns (the C^T of the fast HN algorithm) ->
+  col2im overlap-add inside each brick -> pooled direct-stiffness summation
+  across bricks (face/edge/corner interface pools as wide row ops) -> fill
+  pass restoring the invariant.
+
+The engine is bitwise-equivalent (up to fp rounding) to MatrixFree's fast
+path; tests compare both against the assembled scipy oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .constraints import decompress_mask
+from .dof_handler import local_lattice
+from .matrix_free import MatrixFree
+
+__all__ = ["BrickStructure", "BrickLaplace"]
+
+
+def _entity_slot_partition(mask: int, dim: int, p: int, lat: np.ndarray):
+    """Partition the constrained-closure slots of a cell with this compressed
+    mask among its constrained entities (faces first, then edges): each slot
+    is claimed by exactly one entity so the fold/fill row transfers neither
+    miss nor double-count. Returns list of (kind, axis, slots ndarray)."""
+    sub, face, edge = decompress_mask(np.array([mask]), dim)
+    sub, face, edge = int(sub[0]), int(face[0]), int(edge[0])
+    claimed = np.zeros(len(lat), dtype=bool)
+    out = []
+    for d in range(dim):
+        if (face >> d) & 1:
+            s_d = (sub >> d) & 1
+            sel = (lat[:, d] == s_d * p) & ~claimed
+            out.append(("face", d, np.nonzero(sel)[0]))
+            claimed |= sel
+    if dim == 3:
+        for e in range(3):
+            if (edge >> e) & 1:
+                a, b = [x for x in range(3) if x != e]
+                s_a, s_b = (sub >> a) & 1, (sub >> b) & 1
+                sel = (lat[:, a] == s_a * p) & (lat[:, b] == s_b * p) & ~claimed
+                out.append(("edge", e, np.nonzero(sel)[0]))
+                claimed |= sel
+    return out
+
+
+def _mirror_slots(kind: str, axis: int, slots: np.ndarray, mask: int,
+                  dim: int, p: int, lat: np.ndarray) -> np.ndarray:
+    """Destination slots on the coarse neighbor for a fold transfer: same
+    tangential lattice indices, opposite side along the entity's normal(s)."""
+    sub, _, _ = decompress_mask(np.array([mask]), dim)
+    sub = int(sub[0])
+    n = p + 1
+    coords = lat[slots].copy()
+    if kind == "face":
+        s_d = (sub >> axis) & 1
+        coords[:, axis] = (1 - s_d) * p
+    else:  # edge along `axis`
+        a, b = [x for x in range(3) if x != axis]
+        s_a, s_b = (sub >> a) & 1, (sub >> b) & 1
+        coords[:, a] = (1 - s_a) * p
+        coords[:, b] = (1 - s_b) * p
+    # lexicographic x fastest: slot = sum coords[d] * n^d
+    flat = sum(coords[:, d] * (n**d) for d in range(dim))
+    return flat.astype(np.int64)
+
+
+@dataclass
+class _TransferGroup:
+    fine_cells: np.ndarray  # brick-cell linear ids [m]
+    coarse_cells: np.ndarray  # brick-cell linear ids [m]
+    src_slots: np.ndarray  # [k]
+    dst_slots: np.ndarray  # [k]
+    level: int = 0  # refinement level of the fine cells
+
+
+class BrickStructure:
+    """Static brick layout + exchange plan derived from a MatrixFree object."""
+
+    def __init__(self, mf: MatrixFree, brick_size: int = 4):
+        if mf.dim != 3:
+            raise NotImplementedError("brick engine currently supports dim=3")
+        if mf.categorize:
+            raise ValueError("brick engine requires original cell order")
+        self.mf = mf
+        self.B = B = brick_size
+        self.p = p = mf.degree
+        self.dim = dim = mf.dim
+        self.NB = NB = B * p + 1
+        tria = mf.tria
+        lat = local_lattice(p, dim)
+        self._lat = lat
+        n = p + 1
+        n_loc = n**dim
+
+        logB = int(np.log2(B))
+        assert 2**logB == B
+
+        # ---- brick membership -------------------------------------------
+        lvl = tria.level
+        bc = tria.coord >> np.int64(logB)
+        bkey = (lvl << np.int64(48)) | (bc[:, 0] << np.int64(32)) | (
+            bc[:, 1] << np.int64(16)) | bc[:, 2]
+        ukeys, brick_of_cell = np.unique(bkey, return_inverse=True)
+        self.n_bricks = len(ukeys)
+        self.brick_level = (ukeys >> np.int64(48)).astype(np.int64)
+        self.brick_coord = np.stack(
+            [(ukeys >> np.int64(32)) & 0xFFFF,
+             (ukeys >> np.int64(16)) & 0xFFFF,
+             ukeys & 0xFFFF], axis=1).astype(np.int64)
+        lc = (tria.coord & (B - 1)).astype(np.int64)
+        slot = lc[:, 0] + B * lc[:, 1] + B * B * lc[:, 2]
+        self.brick_of_cell = brick_of_cell
+        self.slot_of_cell = slot
+        self.cell_lin = brick_of_cell * (B**dim) + slot  # brick-cell linear id
+
+        ncb = self.n_bricks * (B**dim)
+        self.present = np.zeros(ncb, dtype=bool)
+        self.present[self.cell_lin] = True
+        # map brick-cell linear id -> active cell index (or -1)
+        self.cell_at = np.full(ncb, -1, dtype=np.int64)
+        self.cell_at[self.cell_lin] = np.arange(tria.n_active_cells)
+
+        # geometry factor per brick cell (Cartesian: h^(dim-2), equal axes)
+        geo = np.asarray(mf.geo)[:, 0]  # [n_cells]
+        self.geo_b = np.zeros(ncb)
+        self.geo_b[self.cell_lin] = geo
+
+        # masks / hn subset in brick-cell numbering
+        masks = np.asarray(mf.masks)
+        self.masks_b = np.zeros(ncb, dtype=np.int32)
+        self.masks_b[self.cell_lin] = masks
+
+        # vertex-only cross-level contacts: a cell whose full-diagonal
+        # neighbor slot (across the parent corner) is covered by an active
+        # one-level-coarser cell, with NO constrained face/edge (mask 0) —
+        # it shares exactly one master vertex with the coarse level (e.g. the
+        # octant corner of the quadrant mesh). These need fold/fill transfers
+        # too, with identity weights.
+        from .constraints import _active_lookup
+
+        find = _active_lookup(tria)
+        s_bits = (tria.coord & 1).astype(np.int64)
+        nc = tria.coord + (2 * s_bits - 1)
+        lim = np.int64(1) << tria.level
+        inside = np.all((nc >= 0) & (nc < lim[:, None]), axis=1)
+        valid = inside & (tria.level >= 1)
+        vdiag = find(tria.level - 1, nc >> np.int64(1), valid)
+        self.vertex_contact = (vdiag >= 0) & (masks == 0)
+        self.vertex_diag = vdiag
+
+        # transfer-active subset: constrained cells + vertex-contact cells
+        xfer_sel = (masks != 0) | self.vertex_contact
+        self.xfer_cells = np.nonzero(xfer_sel)[0]
+        self.hn_lin = self.cell_lin[xfer_sel]
+        self.hn_masks = masks[xfer_sel].astype(np.int32)
+
+        # constrained-closure slot mask (slots whose fast-map entry was
+        # replaced by a coarse master): zeroed before col2im, filled by the
+        # fill pass. Derived from the same bit rules as the HN kernel.
+        sub_b, face_b, edge_b = decompress_mask(self.hn_masks, dim)
+        m = len(self.hn_masks)
+        closure = np.zeros((m, n_loc), dtype=bool)
+        for d in range(dim):
+            has = ((face_b >> d) & 1) == 1
+            side = ((sub_b >> d) & 1) * p
+            closure |= has[:, None] & (lat[None, :, d] == side[:, None])
+        for e in range(dim):
+            a, b = [x for x in range(3) if x != e]
+            has = ((edge_b >> e) & 1) == 1
+            sa = ((sub_b >> a) & 1) * p
+            sb = ((sub_b >> b) & 1) * p
+            closure |= (
+                has[:, None]
+                & (lat[None, :, a] == sa[:, None])
+                & (lat[None, :, b] == sb[:, None])
+            )
+        # vertex-contact cells (mask 0): closure = the parent-corner slot
+        vsel = self.vertex_contact[self.xfer_cells]
+        if vsel.any():
+            sb = s_bits[self.xfer_cells[vsel]]
+            corner = sum(sb[:, d] * p * (n**d) for d in range(dim))
+            rows = np.nonzero(vsel)[0]
+            closure[rows, corner] = True
+        self.hn_closure = closure  # [n_hn, n_loc]
+
+        # ---- node -> dof maps --------------------------------------------
+        # brick node index of (cell slot, local lattice): per axis lc*p + il
+        cell_node_offsets = (
+            lat[:, 0][None, :]
+            + NB * lat[:, 1][None, :]
+            + NB * NB * lat[:, 2][None, :]
+        )  # [1, n_loc]
+        base = (
+            lc[:, 0] * p + NB * (lc[:, 1] * p) + NB * NB * (lc[:, 2] * p)
+        )  # [n_cells]
+        self.cell_node_index = base[:, None] + cell_node_offsets  # [n_cells, n_loc]
+
+        nnode = self.n_bricks * NB**dim
+        node_dof = np.full(nnode, -1, dtype=np.int64)
+        flat_nodes = brick_of_cell[:, None] * (NB**dim) + self.cell_node_index
+        node_dof[flat_nodes.ravel()] = np.asarray(mf.dof_handler.cell_dofs).ravel()
+        self.node_dof = node_dof  # -1 at holes
+        self.node_valid = node_dof >= 0
+
+        # per-dof owner node (first covering brick node) for to_dof_vector
+        order = np.argsort(node_dof, kind="stable")
+        nd_sorted = node_dof[order]
+        first = np.searchsorted(nd_sorted, np.arange(mf.n_dofs))
+        self.owner_node_of_dof = order[first]
+        assert (node_dof[self.owner_node_of_dof] == np.arange(mf.n_dofs)).all()
+
+        hanging = mf.constraints.constrained_dof_marker()
+        self.node_hanging = np.zeros(nnode, dtype=bool)
+        self.node_hanging[self.node_valid] = hanging[node_dof[self.node_valid]]
+        # dot-product weights: 1 at the owner node of each non-hanging dof
+        wmask = np.zeros(nnode, dtype=bool)
+        keep = ~hanging
+        wmask[self.owner_node_of_dof[keep]] = True
+        self.dot_mask = wmask
+
+        # ---- same-level DSS pools (face / edge / corner interfaces) -----
+        self._build_pools()
+        # ---- coarse-fine fold/fill transfer groups -----------------------
+        self._build_transfers()
+
+    # ----------------------------------------------------------------- pools
+    def _face_key(self, lvlb, bcb, d, side):
+        """Geometric key of a brick face (canonical: lower brick, +d face)."""
+        c = bcb.copy()
+        c[:, d] = c[:, d] + side  # face plane index in units of brick grid
+        return ((lvlb << np.int64(50)) | (np.int64(d) << np.int64(48))
+                | (c[:, 0] << np.int64(32)) | (c[:, 1] << np.int64(16)) | c[:, 2])
+
+    def _build_pools(self):
+        NB = self.NB
+        nb = self.n_bricks
+        lvlb, bcb = self.brick_level, self.brick_coord
+
+        # FACE pools: all NB x NB face nodes (including face edges/corners)
+        # are pooled per geometric brick-face. Nodes shared by >2 bricks
+        # (brick edges/corners) are then ALSO pooled by edge/corner pools;
+        # to keep each node in exactly one pool class, face pools carry only
+        # the face-interior (1..NB-2)^2, edge pools the edge-interior, and
+        # corner pools the 8 corners.
+        face_entries = []  # (brick, d, side) rows
+        keys = []
+        for d in range(3):
+            for side in (0, 1):
+                k = self._face_key(lvlb, bcb, d, side)
+                keys.append(k)
+                face_entries.append(
+                    np.stack([np.arange(nb), np.full(nb, d), np.full(nb, side)], 1)
+                )
+        keys = np.concatenate(keys)
+        entries = np.concatenate(face_entries)
+        uk, inv = np.unique(keys, return_inverse=True)
+        # keep only interfaces shared by exactly 2 bricks (interior faces)
+        counts = np.bincount(inv)
+        self.face_pool_id = inv.reshape(6, nb).T.copy()  # [nb, 6] (d*2+side)
+        self.n_face_pools = len(uk)
+        self.face_pool_shared = counts == 2
+
+        # EDGE pools
+        edge_keys = []
+        edge_entries = []
+        eidx = 0
+        for e in range(3):
+            a, b = [x for x in range(3) if x != e]
+            for sa in (0, 1):
+                for sb in (0, 1):
+                    c = bcb.copy()
+                    c[:, a] += sa
+                    c[:, b] += sb
+                    k = ((lvlb << np.int64(50)) | (np.int64(e) << np.int64(48))
+                         | (c[:, 0] << np.int64(32)) | (c[:, 1] << np.int64(16))
+                         | c[:, 2])
+                    edge_keys.append(k)
+                    edge_entries.append(eidx)
+                    eidx += 1
+        ek = np.concatenate(edge_keys)
+        uek, einv = np.unique(ek, return_inverse=True)
+        self.edge_pool_id = einv.reshape(12, nb).T.copy()  # [nb, 12]
+        self.n_edge_pools = len(uek)
+
+        # CORNER pools
+        ck = []
+        for sz in (0, 1):
+            for sy in (0, 1):
+                for sx in (0, 1):
+                    c = bcb + np.array([sx, sy, sz])
+                    k = ((lvlb << np.int64(50)) | (c[:, 0] << np.int64(32))
+                         | (c[:, 1] << np.int64(16)) | c[:, 2])
+                    ck.append(k)
+        ckk = np.concatenate(ck)
+        uck, cinv = np.unique(ckk, return_inverse=True)
+        self.corner_pool_id = cinv.reshape(8, nb).T.copy()  # [nb, 8]
+        self.n_corner_pools = len(uck)
+
+    # ------------------------------------------------------------- transfers
+    def _build_transfers(self):
+        """Mask-grouped fold/fill row transfers between fine constrained cells
+        and their coarse neighbors, in the cols [*, n_loc] domain."""
+        mf = self.mf
+        dim, p = self.dim, self.p
+        n = p + 1
+        lat = self._lat
+        ci = mf.constraints
+        masks = np.asarray(mf.masks)
+        hn_cells = np.nonzero(masks != 0)[0]
+        groups = []
+        for mval in np.unique(masks[hn_cells]):
+            cells = hn_cells[masks[hn_cells] == mval]
+            for kind, axis, slots in _entity_slot_partition(int(mval), dim, p, lat):
+                if len(slots) == 0:
+                    continue
+                if kind == "face":
+                    nbr = ci.face_neighbor[cells, axis]
+                else:
+                    nbr = ci.edge_neighbor[cells, axis]
+                assert (nbr >= 0).all()
+                dst = _mirror_slots(kind, axis, slots, int(mval), dim, p, lat)
+                for lv in np.unique(mf.tria.level[cells]):
+                    lsel = mf.tria.level[cells] == lv
+                    groups.append(
+                        _TransferGroup(
+                            fine_cells=self.cell_lin[cells[lsel]],
+                            coarse_cells=self.cell_lin[nbr[lsel]],
+                            src_slots=slots.astype(np.int64),
+                            dst_slots=dst,
+                            level=int(lv),
+                        )
+                    )
+        # vertex-contact groups (identity weight), grouped by subcell combo
+        vcells = np.nonzero(self.vertex_contact)[0]
+        if len(vcells):
+            sb = (mf.tria.coord[vcells] & 1).astype(np.int64)
+            combo = sb[:, 0] | (sb[:, 1] << 1) | (sb[:, 2] << 2)
+            for cv in np.unique(combo):
+                sel = vcells[combo == cv]
+                s0, s1, s2 = cv & 1, (cv >> 1) & 1, (cv >> 2) & 1
+                src = np.array(
+                    [s0 * p + n * (s1 * p) + n * n * (s2 * p)], dtype=np.int64
+                )
+                dst = np.array(
+                    [(1 - s0) * p + n * ((1 - s1) * p) + n * n * ((1 - s2) * p)],
+                    dtype=np.int64,
+                )
+                for lv in np.unique(mf.tria.level[sel]):
+                    lsel = mf.tria.level[sel] == lv
+                    groups.append(
+                        _TransferGroup(
+                            fine_cells=self.cell_lin[sel[lsel]],
+                            coarse_cells=self.cell_lin[self.vertex_diag[sel[lsel]]],
+                            src_slots=src,
+                            dst_slots=dst,
+                            level=int(lv),
+                        )
+                    )
+        self.transfer_groups = groups
+
+
+# ===========================================================================
+class BrickLaplace:
+    """Laplace vmult on BrickVectors (Cartesian mapping, dim=3).
+
+    See module docstring for the pipeline. Stage 1 uses XLA static slices and
+    one dense MXU matmul per cell block; stage 2 will fuse im2col/kernel/
+    col2im into a Pallas kernel.
+    """
+
+    def __init__(self, mf: MatrixFree, brick_size: int = 4):
+        self.mf = mf
+        self.bs = bs = BrickStructure(mf, brick_size)
+        p, B, NB, dim = bs.p, bs.B, bs.NB, bs.dim
+        self.n = n = p + 1
+        n_loc = n**dim
+
+        # dense reference-cell stiffness (sum over axes; equal-h Cartesian)
+        from .elements import shape_info
+
+        si = shape_info(p)
+        w = si.quad_w
+        M1 = np.einsum("q,qi,qj->ij", w, si.S, si.S)
+        K1 = np.einsum("q,qi,qj->ij", w, si.D, si.D)
+        K = np.zeros((n_loc, n_loc))
+        for d in range(dim):
+            facs = [K1 if t == d else M1 for t in range(dim)]
+            A = facs[dim - 1]
+            for t in range(dim - 2, -1, -1):
+                A = np.kron(A, facs[t])
+            K += A
+
+        # per-level transfer groups (chained folds: fine -> coarse)
+        levels = sorted({g.level for g in bs.transfer_groups})
+        groups_by_level = {lv: [] for lv in levels}
+        for g in bs.transfer_groups:
+            T = np.zeros((n_loc, n_loc))
+            T[g.src_slots, g.dst_slots] = 1.0
+            groups_by_level[g.level].append(
+                dict(
+                    fine=jnp.asarray(g.fine_cells.astype(np.int32)),
+                    coarse=jnp.asarray(g.coarse_cells.astype(np.int32)),
+                    T=jnp.asarray(T, dtype=mf.dtype),
+                )
+            )
+        # per-level xfer-cell closure zeroing data
+        xfer_levels = np.asarray(mf.tria.level[bs.xfer_cells])
+        level_zero = {}
+        for lv in levels:
+            sel = xfer_levels == lv
+            level_zero[lv] = dict(
+                lin=jnp.asarray(bs.hn_lin[sel].astype(np.int32)),
+                keep=jnp.asarray(
+                    (1.0 - bs.hn_closure[sel].astype(np.float64)), dtype=mf.dtype
+                ),
+            )
+        self._levels = levels
+
+        # node coverage by present cells (for averaging writes in the fill)
+        cov = np.zeros(bs.n_bricks * NB**3)
+        np.add.at(
+            cov,
+            (bs.brick_of_cell[:, None] * NB**3 + bs.cell_node_index).ravel(),
+            1.0,
+        )
+        inv_cov = np.where(cov > 0, 1.0 / np.maximum(cov, 1), 0.0)
+
+        self.arrays = dict(
+            inv_cov=jnp.asarray(
+                inv_cov.reshape(bs.n_bricks, NB, NB, NB), dtype=mf.dtype
+            ),
+            K=jnp.asarray(K, dtype=mf.dtype),
+            geo=jnp.asarray(bs.geo_b, dtype=mf.dtype),
+            present=jnp.asarray(bs.present.astype(np.float32), dtype=mf.dtype),
+            hn_lin=jnp.asarray(bs.hn_lin.astype(np.int32)),
+            hn_masks=jnp.asarray(bs.hn_masks),
+            closure=jnp.asarray(bs.hn_closure.astype(np.float32), dtype=mf.dtype),
+            P=jnp.asarray(si.P, dtype=mf.dtype),
+            face_pool_id=jnp.asarray(bs.face_pool_id.astype(np.int32)),
+            edge_pool_id=jnp.asarray(bs.edge_pool_id.astype(np.int32)),
+            corner_pool_id=jnp.asarray(bs.corner_pool_id.astype(np.int32)),
+            node_valid=jnp.asarray(
+                bs.node_valid.reshape(bs.n_bricks, NB, NB, NB)
+            ),
+            transfers={lv: groups_by_level[lv] for lv in levels},
+            level_zero=level_zero,
+        )
+        self._jit_vmult = jax.jit(self._vmult_impl)
+
+    # ---------------------------------------------------------- conversions
+    def from_dof_vector(self, u: np.ndarray) -> jnp.ndarray:
+        bs = self.bs
+        u_dist = self.mf.constraints.distribute(np.asarray(u))
+        flat = np.zeros(bs.n_bricks * bs.NB**3, dtype=self.mf.dtype)
+        flat[bs.node_valid] = u_dist[bs.node_dof[bs.node_valid]]
+        return jnp.asarray(flat.reshape(bs.n_bricks, bs.NB, bs.NB, bs.NB))
+
+    def to_dof_vector(self, bv: jnp.ndarray, zero_hanging: bool = False):
+        bs = self.bs
+        flat = np.asarray(bv).reshape(-1)
+        u = flat[bs.owner_node_of_dof]
+        if zero_hanging:
+            u = u.copy()
+            u[self.mf.constraints.constrained_dof_marker()] = 0.0
+        return u
+
+    # --------------------------------------------------------------- pieces
+    def _im2col(self, bv):
+        bs = self.bs
+        p, B = bs.p, bs.B
+        outs = []
+        lim = (B - 1) * p + 1
+        for kz in range(self.n):
+            for ky in range(self.n):
+                for kx in range(self.n):
+                    outs.append(
+                        jax.lax.slice(
+                            bv,
+                            (0, kz, ky, kx),
+                            (bv.shape[0], kz + lim, ky + lim, kx + lim),
+                            (1, p, p, p),
+                        )
+                    )
+        cols = jnp.stack(outs, axis=-1)  # [nb, B,B,B, n_loc]
+        return cols.reshape(-1, self.n**3)
+
+    def _col2im(self, vals, add=True):
+        bs = self.bs
+        p, B, NB = bs.p, bs.B, bs.NB
+        nb = bs.n_bricks
+        v = vals.reshape(nb, B, B, B, self.n**3)
+        out = jnp.zeros((nb, NB, NB, NB), vals.dtype)
+        lim = (B - 1) * p + 1
+        k = 0
+        for kz in range(self.n):
+            for ky in range(self.n):
+                for kx in range(self.n):
+                    piece = v[..., k]
+                    k += 1
+                    sl = (
+                        slice(None),
+                        slice(kz, kz + lim, p),
+                        slice(ky, ky + lim, p),
+                        slice(kx, kx + lim, p),
+                    )
+                    out = out.at[sl].add(piece) if add else out.at[sl].set(piece)
+        return out
+
+    def _dss(self, pv, a):
+        """Pooled direct-stiffness summation across bricks (same level)."""
+        bs = self.bs
+        NB = bs.NB
+        nb = bs.n_bricks
+        inner = slice(1, NB - 1)
+        # ---- faces (interior nodes)
+        planes = []
+        sls = []
+        for d in range(3):
+            ax = 3 - d  # array axis of spatial axis d (z,y,x order + brick axis)
+            for side in (0, 1):
+                idx = [slice(None)] * 4
+                idx[ax] = 0 if side == 0 else NB - 1
+                for aa in range(1, 4):
+                    if aa != ax:
+                        idx[aa] = inner
+                sls.append(tuple(idx))
+                planes.append(pv[tuple(idx)].reshape(nb, -1))
+        planes = jnp.stack(planes, axis=1)  # [nb, 6, 225]
+        # face_pool_id is [nb, 6] ordered (d*2+side) — match the loop order
+        pool = jnp.zeros((bs.n_face_pools, planes.shape[-1]), pv.dtype)
+        pool = pool.at[a["face_pool_id"].reshape(-1)].add(planes.reshape(-1, planes.shape[-1]))
+        back = pool[a["face_pool_id"].reshape(-1)].reshape(nb, 6, -1)
+        for i, sl in enumerate(sls):
+            shp = pv[sl].shape
+            pv = pv.at[sl].set(back[:, i].reshape(shp))
+        # ---- edges (interior nodes)
+        lines = []
+        esls = []
+        i_e = 0
+        for e in range(3):
+            axes = [x for x in range(3) if x != e]
+            ax_e = 3 - e
+            for sa in (0, 1):
+                for sb in (0, 1):
+                    idx = [slice(None)] * 4
+                    idx[3 - axes[0]] = 0 if sa == 0 else NB - 1
+                    idx[3 - axes[1]] = 0 if sb == 0 else NB - 1
+                    idx[ax_e] = inner
+                    esls.append(tuple(idx))
+                    lines.append(pv[tuple(idx)].reshape(nb, -1))
+                    i_e += 1
+        lines = jnp.stack(lines, axis=1)  # [nb, 12, 15]
+        epool = jnp.zeros((bs.n_edge_pools, lines.shape[-1]), pv.dtype)
+        epool = epool.at[a["edge_pool_id"].reshape(-1)].add(lines.reshape(-1, lines.shape[-1]))
+        eback = epool[a["edge_pool_id"].reshape(-1)].reshape(nb, 12, -1)
+        for i, sl in enumerate(esls):
+            shp = pv[sl].shape
+            pv = pv.at[sl].set(eback[:, i].reshape(shp))
+        # ---- corners
+        corners = []
+        csls = []
+        for sz in (0, 1):
+            for sy in (0, 1):
+                for sx in (0, 1):
+                    idx = (
+                        slice(None),
+                        0 if sz == 0 else NB - 1,
+                        0 if sy == 0 else NB - 1,
+                        0 if sx == 0 else NB - 1,
+                    )
+                    csls.append(idx)
+                    corners.append(pv[idx])
+        corners = jnp.stack(corners, axis=1)  # [nb, 8]
+        cpool = jnp.zeros((bs.n_corner_pools,), pv.dtype)
+        cpool = cpool.at[a["corner_pool_id"].reshape(-1)].add(corners.reshape(-1))
+        cback = cpool[a["corner_pool_id"].reshape(-1)].reshape(nb, 8)
+        for i, sl in enumerate(csls):
+            pv = pv.at[sl].set(cback[:, i])
+        return pv
+
+    # ----------------------------------------------------------------- vmult
+    def _vmult_impl(self, bv, a):
+        from .ops.hanging_nodes import apply_hanging_node_constraints
+
+        bs = self.bs
+        dim = bs.dim
+        # 1) cells from bricks (hanging slots already hold distributed values)
+        cols = self._im2col(bv)
+        # 2) cell kernel: dense MXU matmul, per-cell Cartesian scale
+        vals = jnp.dot(cols, a["K"].T, preferred_element_type=cols.dtype)
+        vals = vals * (a["geo"] * a["present"])[:, None]
+        # 3) hanging-node transpose on the constrained subset
+        if self.bs.hn_lin.shape[0] == 0:
+            pv = self._col2im(vals, add=True)
+            pv = self._dss(pv, a)
+            pv = jnp.where(a["node_valid"], pv, 0.0)
+            cols2 = self._im2col(pv)
+            out = self._col2im(cols2 * a["present"][:, None], add=True) * a["inv_cov"]
+            return jnp.where(a["node_valid"], out, 0.0)
+        sub_raw = apply_hanging_node_constraints(
+            vals[a["hn_lin"]], a["hn_masks"], a["P"], dim, transpose=True
+        )
+        vals = vals.at[a["hn_lin"]].set(sub_raw)
+        # 4) chained folds, finest level first: forward constrained-slot
+        #    values (own + received from finer levels) to coarse neighbors,
+        #    then retire this level's closure slots.
+        for lv in sorted(self._levels, reverse=True):
+            for g in a["transfers"][lv]:
+                rows = jnp.dot(jnp.take(vals, g["fine"], axis=0), g["T"],
+                               preferred_element_type=vals.dtype)
+                vals = vals.at[g["coarse"]].add(rows)
+            lz = a["level_zero"][lv]
+            vals = vals.at[lz["lin"]].set(
+                jnp.take(vals, lz["lin"], axis=0) * lz["keep"]
+            )
+        # 5) within-brick assembly + cross-brick summation
+        pv = self._col2im(vals, add=True)
+        pv = self._dss(pv, a)
+        pv = jnp.where(a["node_valid"], pv, 0.0)
+        # 6) fill pass (chained, coarsest first): restore the
+        #    distributed-hanging invariant
+        cols2 = self._im2col(pv)
+        for lv in sorted(self._levels):
+            lz = a["level_zero"][lv]
+            cols2 = cols2.at[lz["lin"]].set(
+                jnp.take(cols2, lz["lin"], axis=0) * lz["keep"]
+            )
+            for g in a["transfers"][lv]:
+                rows = jnp.dot(jnp.take(cols2, g["coarse"], axis=0), g["T"].T,
+                               preferred_element_type=pv.dtype)
+                cols2 = cols2.at[g["fine"]].add(rows)
+        sub2 = apply_hanging_node_constraints(
+            jnp.take(cols2, a["hn_lin"], axis=0), a["hn_masks"], a["P"], dim,
+            transpose=False,
+        )
+        cols2 = cols2.at[a["hn_lin"]].set(sub2)
+        out = self._col2im(cols2 * a["present"][:, None], add=True) * a["inv_cov"]
+        return jnp.where(a["node_valid"], out, 0.0)
+
+    def vmult(self, bv: jnp.ndarray) -> jnp.ndarray:
+        return self._jit_vmult(bv, self.arrays)
