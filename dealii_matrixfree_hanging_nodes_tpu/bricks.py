@@ -423,6 +423,8 @@ class BrickLaplace:
                 dict(
                     fine=jnp.asarray(g.fine_cells.astype(np.int32)),
                     coarse=jnp.asarray(g.coarse_cells.astype(np.int32)),
+                    fine_s=None,  # filled below once the subset map exists
+                    coarse_s=None,
                     T=jnp.asarray(T, dtype=mf.dtype),
                 )
             )
@@ -433,6 +435,7 @@ class BrickLaplace:
             sel = xfer_levels == lv
             level_zero[lv] = dict(
                 lin=jnp.asarray(bs.hn_lin[sel].astype(np.int32)),
+                lin_s=None,
                 keep=jnp.asarray(
                     (1.0 - bs.hn_closure[sel].astype(np.float64)), dtype=mf.dtype
                 ),
@@ -448,11 +451,44 @@ class BrickLaplace:
         )
         inv_cov = np.where(cov > 0, 1.0 / np.maximum(cov, 1), 0.0)
 
+        n_pad = ((n_loc + 127) // 128) * 128
+        K_pad = np.zeros((n_pad, n_pad))
+        K_pad[:n_loc, :n_loc] = K
+
+        # fill-pass brick subset: bricks containing transfer-active cells or
+        # their coarse destinations; everything else is untouched by the fill
+        C = B**dim
+        touched = set((bs.hn_lin // C).tolist())
+        for g in bs.transfer_groups:
+            touched.update((g.fine_cells // C).tolist())
+            touched.update((g.coarse_cells // C).tolist())
+        sub_ids = np.array(sorted(touched), dtype=np.int64)
+        sub_of_brick = np.full(bs.n_bricks, -1, dtype=np.int64)
+        sub_of_brick[sub_ids] = np.arange(len(sub_ids))
+
+        def _remap(lin):
+            return (sub_of_brick[lin // C] * C + lin % C).astype(np.int32)
+
+        self._n_sub = len(sub_ids)
+        # remap transfer/closure indices into the fill subset numbering
+        import jax.numpy as _jnp
+
+        for lv in levels:
+            for g in groups_by_level[lv]:
+                g["fine_s"] = _jnp.asarray(_remap(np.asarray(g["fine"])))
+                g["coarse_s"] = _jnp.asarray(_remap(np.asarray(g["coarse"])))
+            level_zero[lv]["lin_s"] = _jnp.asarray(
+                _remap(np.asarray(level_zero[lv]["lin"]))
+            )
+        hn_lin_s = _remap(bs.hn_lin)
+        present_b = bs.present.reshape(bs.n_bricks, C)
+        cov3 = inv_cov.reshape(bs.n_bricks, NB, NB, NB)
+
         self.arrays = dict(
             inv_cov=jnp.asarray(
                 inv_cov.reshape(bs.n_bricks, NB, NB, NB), dtype=mf.dtype
             ),
-            K=jnp.asarray(K, dtype=mf.dtype),
+            K=jnp.asarray(K_pad, dtype=mf.dtype),
             geo=jnp.asarray(bs.geo_b, dtype=mf.dtype),
             present=jnp.asarray(bs.present.astype(np.float32), dtype=mf.dtype),
             hn_lin=jnp.asarray(bs.hn_lin.astype(np.int32)),
@@ -467,6 +503,12 @@ class BrickLaplace:
             ),
             transfers={lv: groups_by_level[lv] for lv in levels},
             level_zero=level_zero,
+            sub_ids=jnp.asarray(sub_ids.astype(np.int32)),
+            hn_lin_s=jnp.asarray(hn_lin_s),
+            present_s=jnp.asarray(
+                present_b[sub_ids].reshape(-1).astype(np.float32), dtype=mf.dtype
+            ),
+            inv_cov_s=jnp.asarray(cov3[sub_ids], dtype=mf.dtype),
         )
         self._jit_vmult = jax.jit(self._vmult_impl)
 
@@ -507,12 +549,12 @@ class BrickLaplace:
         cols = jnp.stack(outs, axis=-1)  # [nb, B,B,B, n_loc]
         return cols.reshape(-1, self.n**3)
 
-    def _col2im(self, vals, add=True):
+    def _col2im(self, vals, add=True, n_bricks=None):
         bs = self.bs
         p, B, NB = bs.p, bs.B, bs.NB
-        nb = bs.n_bricks
+        nb = n_bricks if n_bricks is not None else bs.n_bricks
         v = vals.reshape(nb, B, B, B, self.n**3)
-        out = jnp.zeros((nb, NB, NB, NB), vals.dtype)
+        out = jnp.zeros((nb, NB, NB, NB), vals.dtype)  # noqa - nb may be subset
         lim = (B - 1) * p + 1
         k = 0
         for kz in range(self.n):
@@ -610,55 +652,427 @@ class BrickLaplace:
         # 1) cells from bricks (hanging slots already hold distributed values)
         cols = self._im2col(bv)
         # 2) cell kernel: dense MXU matmul, per-cell Cartesian scale
-        vals = jnp.dot(cols, a["K"].T, preferred_element_type=cols.dtype)
+        # (K padded to a 128-lane square at setup for MXU-friendly layout)
+        nl = cols.shape[1]
+        padded = jnp.pad(cols, ((0, 0), (0, a["K"].shape[0] - nl)))
+        vals = jnp.dot(padded, a["K"].T, preferred_element_type=cols.dtype)[:, :nl]
         vals = vals * (a["geo"] * a["present"])[:, None]
         # 3) hanging-node transpose on the constrained subset
         if self.bs.hn_lin.shape[0] == 0:
+            # no constraints: DSS totals already satisfy the invariant
             pv = self._col2im(vals, add=True)
             pv = self._dss(pv, a)
-            pv = jnp.where(a["node_valid"], pv, 0.0)
-            cols2 = self._im2col(pv)
-            out = self._col2im(cols2 * a["present"][:, None], add=True) * a["inv_cov"]
-            return jnp.where(a["node_valid"], out, 0.0)
+            return jnp.where(a["node_valid"], pv, 0.0)
         sub_raw = apply_hanging_node_constraints(
             vals[a["hn_lin"]], a["hn_masks"], a["P"], dim, transpose=True
         )
         vals = vals.at[a["hn_lin"]].set(sub_raw)
         # 4) chained folds, finest level first: forward constrained-slot
         #    values (own + received from finer levels) to coarse neighbors,
-        #    then retire this level's closure slots.
+        #    then retire this level's closure slots. All groups of a level
+        #    are concatenated into ONE scatter-add (buffer-update count is
+        #    the dominant XLA cost, not the tiny matmuls).
         for lv in sorted(self._levels, reverse=True):
+            rows_all, coarse_all = [], []
             for g in a["transfers"][lv]:
-                rows = jnp.dot(jnp.take(vals, g["fine"], axis=0), g["T"],
-                               preferred_element_type=vals.dtype)
-                vals = vals.at[g["coarse"]].add(rows)
+                rows_all.append(
+                    jnp.dot(jnp.take(vals, g["fine"], axis=0), g["T"],
+                            preferred_element_type=vals.dtype)
+                )
+                coarse_all.append(g["coarse"])
             lz = a["level_zero"][lv]
-            vals = vals.at[lz["lin"]].set(
-                jnp.take(vals, lz["lin"], axis=0) * lz["keep"]
+            zeroed = jnp.take(vals, lz["lin"], axis=0) * lz["keep"]
+            vals = vals.at[jnp.concatenate(coarse_all)].add(
+                jnp.concatenate(rows_all, axis=0)
             )
+            vals = vals.at[lz["lin"]].set(zeroed)
         # 5) within-brick assembly + cross-brick summation
         pv = self._col2im(vals, add=True)
         pv = self._dss(pv, a)
         pv = jnp.where(a["node_valid"], pv, 0.0)
-        # 6) fill pass (chained, coarsest first): restore the
-        #    distributed-hanging invariant
-        cols2 = self._im2col(pv)
+        # 6) fill pass (chained, coarsest first) on the brick SUBSET touched
+        #    by transfers: restore the distributed-hanging invariant
+        sub_bricks = jnp.take(pv, a["sub_ids"], axis=0)
+        cols2 = self._im2col(sub_bricks)
         for lv in sorted(self._levels):
             lz = a["level_zero"][lv]
-            cols2 = cols2.at[lz["lin"]].set(
-                jnp.take(cols2, lz["lin"], axis=0) * lz["keep"]
+            cols2 = cols2.at[lz["lin_s"]].set(
+                jnp.take(cols2, lz["lin_s"], axis=0) * lz["keep"]
             )
+            rows_all, fine_all = [], []
             for g in a["transfers"][lv]:
-                rows = jnp.dot(jnp.take(cols2, g["coarse"], axis=0), g["T"].T,
-                               preferred_element_type=pv.dtype)
-                cols2 = cols2.at[g["fine"]].add(rows)
+                rows_all.append(
+                    jnp.dot(jnp.take(cols2, g["coarse_s"], axis=0), g["T"].T,
+                            preferred_element_type=pv.dtype)
+                )
+                fine_all.append(g["fine_s"])
+            cols2 = cols2.at[jnp.concatenate(fine_all)].add(
+                jnp.concatenate(rows_all, axis=0)
+            )
         sub2 = apply_hanging_node_constraints(
-            jnp.take(cols2, a["hn_lin"], axis=0), a["hn_masks"], a["P"], dim,
+            jnp.take(cols2, a["hn_lin_s"], axis=0), a["hn_masks"], a["P"], dim,
             transpose=False,
         )
-        cols2 = cols2.at[a["hn_lin"]].set(sub2)
-        out = self._col2im(cols2 * a["present"][:, None], add=True) * a["inv_cov"]
+        cols2 = cols2.at[a["hn_lin_s"]].set(sub2)
+        out_sub = (
+            self._col2im(cols2 * a["present_s"][:, None], add=True,
+                         n_bricks=sub_bricks.shape[0])
+            * a["inv_cov_s"]
+        )
+        out = pv.at[a["sub_ids"]].set(out_sub)
         return jnp.where(a["node_valid"], out, 0.0)
 
     def vmult(self, bv: jnp.ndarray) -> jnp.ndarray:
+        return self._jit_vmult(bv, self.arrays)
+
+
+# ===========================================================================
+class BrickLaplaceMM:
+    """Matmul-formulation brick engine — the TPU speed-of-light layout.
+
+    Bricks are stored FLAT [n_bricks, NB^3 (padded to 128x)] so the lane
+    dimension is ~fully utilized (the [nb,17,17,17] form runs at ~9% lane
+    efficiency). All structural data movement is expressed as matmuls with
+    static 0/1 matrices, which the MXU executes at full rate:
+
+    - main path: v = h_b * (u @ A_brick^T), A_brick = sum_cells P_c^T K P_c
+      — the assembled per-brick operator (identical for every brick of a
+      level up to the scalar h factor, since brick cells share one size);
+    - corrections for "exceptional" cells (absent hole cells and
+      hanging-node-constrained cells) run on the small subset of bricks via
+      im2col/col2im AS MATMULS with the one-hot patch matrix E;
+    - cross-brick DSS extracts the 1538 surface nodes with a one-hot matrix,
+      pools faces/edges/corners by interface id (wide row scatter/gather),
+      and writes back with one matmul;
+    - chained coarse-fine folds/fills and the HN kernel operate in the
+      subset cols domain exactly as in BrickLaplace.
+    """
+
+    def __init__(self, mf: MatrixFree, brick_size: int = 4):
+        self.mf = mf
+        self.bs = bs = BrickStructure(mf, brick_size)
+        p, B, NB, dim = bs.p, bs.B, bs.NB, bs.dim
+        self.n = n = p + 1
+        n_loc = n**dim
+        N3 = NB**3
+        self.N3 = N3
+        self.N3p = N3p = ((N3 + 127) // 128) * 128
+        C = B**dim
+
+        from .elements import shape_info
+
+        si = shape_info(p)
+        w = si.quad_w
+        M1 = np.einsum("q,qi,qj->ij", w, si.S, si.S)
+        K1 = np.einsum("q,qi,qj->ij", w, si.D, si.D)
+        K = np.zeros((n_loc, n_loc))
+        for d in range(dim):
+            facs = [K1 if t == d else M1 for t in range(dim)]
+            A = facs[dim - 1]
+            for t in range(dim - 2, -1, -1):
+                A = np.kron(A, facs[t])
+            K += A
+
+        # per-slot node indices within a brick (same for all bricks)
+        lat = local_lattice(p, dim)
+        slot_idx = np.zeros((C, n_loc), dtype=np.int64)
+        for lz in range(B):
+            for ly in range(B):
+                for lx in range(B):
+                    sl = lx + B * ly + B * B * lz
+                    base = lx * p + NB * (ly * p) + NB * NB * (lz * p)
+                    slot_idx[sl] = (
+                        base + lat[:, 0] + NB * lat[:, 1] + NB * NB * lat[:, 2]
+                    )
+        self.slot_idx = slot_idx
+
+        # assembled full-brick operator
+        A_full = np.zeros((N3p, N3p))
+        for sl in range(C):
+            A_full[np.ix_(slot_idx[sl], slot_idx[sl])] += K
+
+        # one-hot patch matrix E [C*n_loc, N3p]: cols <-> brick nodes
+        E = np.zeros((C * n_loc, N3p), dtype=np.float64)
+        E[np.arange(C * n_loc), slot_idx.reshape(-1)] = 1.0
+
+        # surface node ordering: 6 face interiors (225), 12 edge interiors
+        # (15), 8 corners — matches BrickStructure pool tables
+        surf = []
+        self._surf_layout = {}
+        pos = 0
+        inner = np.arange(1, NB - 1)
+        grid3 = lambda z, y, x: (z * NB + y) * NB + x
+        for d in range(3):
+            for side in (0, 1):
+                c = 0 if side == 0 else NB - 1
+                if d == 0:  # x-face: vary (z, y)
+                    ids = grid3(inner[:, None], inner[None, :], c)
+                elif d == 1:
+                    ids = grid3(inner[:, None], c, inner[None, :])
+                else:
+                    ids = grid3(c, inner[:, None], inner[None, :])
+                surf.append(ids.reshape(-1))
+                self._surf_layout[("face", d, side)] = (pos, ids.size)
+                pos += ids.size
+        for e in range(3):
+            axes = [x for x in range(3) if x != e]
+            for sa in (0, 1):
+                for sb in (0, 1):
+                    coord = [None, None, None]
+                    coord[axes[0]] = 0 if sa == 0 else NB - 1
+                    coord[axes[1]] = 0 if sb == 0 else NB - 1
+                    zz = [None, None, None]
+                    vals = {}
+                    pts = []
+                    for t in inner:
+                        cc = [0, 0, 0]
+                        cc[e] = t
+                        cc[axes[0]] = coord[axes[0]]
+                        cc[axes[1]] = coord[axes[1]]
+                        pts.append(grid3(cc[2], cc[1], cc[0]))
+                    surf.append(np.array(pts))
+                    self._surf_layout[("edge", e, sa, sb)] = (pos, len(pts))
+                    pos += len(pts)
+        for sz in (0, 1):
+            for sy in (0, 1):
+                for sx in (0, 1):
+                    cc = [
+                        0 if sx == 0 else NB - 1,
+                        0 if sy == 0 else NB - 1,
+                        0 if sz == 0 else NB - 1,
+                    ]
+                    surf.append(np.array([grid3(cc[2], cc[1], cc[0])]))
+                    self._surf_layout[("corner", sz, sy, sx)] = (pos, 1)
+                    pos += 1
+        surf_idx = np.concatenate(surf)
+        self.n_surf = len(surf_idx)
+        Es = np.zeros((self.n_surf, N3p))
+        Es[np.arange(self.n_surf), surf_idx] = 1.0
+
+        # exceptional cells: absent slots + transfer-active cells (+ fold
+        # destinations). Their bricks form the correction subset.
+        absent_lin = np.nonzero(~bs.present)[0]
+        exc = set(absent_lin.tolist()) | set(bs.hn_lin.tolist())
+        for g in bs.transfer_groups:
+            exc.update(g.coarse_cells.tolist())
+        exc_bricks = sorted({int(x) // C for x in exc})
+        sub_ids = np.array(exc_bricks, dtype=np.int64)
+        sub_of_brick = np.full(bs.n_bricks, -1, dtype=np.int64)
+        sub_of_brick[sub_ids] = np.arange(len(sub_ids))
+        self._n_sub = len(sub_ids)
+
+        def remap(lin):
+            out = sub_of_brick[lin // C] * C + lin % C
+            assert (out >= 0).all()
+            return out.astype(np.int32)
+
+        # subset index arrays
+        absent_sub = remap(absent_lin) if len(absent_lin) else np.zeros(0, np.int32)
+        hn_sub = remap(bs.hn_lin)
+        levels = sorted({g.level for g in bs.transfer_groups})
+        self._levels = levels
+        groups = {lv: [] for lv in levels}
+        for g in bs.transfer_groups:
+            T = np.zeros((n_loc, n_loc))
+            T[g.src_slots, g.dst_slots] = 1.0
+            groups[g.level].append(
+                dict(
+                    fine=jnp.asarray(remap(g.fine_cells)),
+                    coarse=jnp.asarray(remap(g.coarse_cells)),
+                    T=jnp.asarray(T, dtype=mf.dtype),
+                )
+            )
+        xfer_levels = np.asarray(mf.tria.level[bs.xfer_cells])
+        level_zero = {}
+        for lv in levels:
+            sel = xfer_levels == lv
+            level_zero[lv] = dict(
+                lin=jnp.asarray(hn_sub[sel]),
+                keep=jnp.asarray(
+                    1.0 - bs.hn_closure[sel].astype(np.float64), dtype=mf.dtype
+                ),
+            )
+
+        # geometry: per-brick scalar h factor (level-uniform cells)
+        h_cell = (mf.tria.right - mf.tria.left) * (
+            0.5 ** bs.brick_level.astype(np.float64)
+        )  # cell size (brick cells are level-uniform)
+        geo_brick = h_cell ** (dim - 2)
+
+        # present/validity in subset cols numbering
+        present_sub = bs.present.reshape(bs.n_bricks, C)[sub_ids].reshape(-1)
+        # per-dof node validity/coverage for final masking
+        node_valid = bs.node_valid.reshape(bs.n_bricks, N3)
+        nv_pad = np.zeros((bs.n_bricks, N3p), dtype=bool)
+        nv_pad[:, :N3] = node_valid
+
+        self.arrays = dict(
+            A=jnp.asarray(A_full, dtype=mf.dtype),
+            E=jnp.asarray(E, dtype=mf.dtype),
+            Es=jnp.asarray(Es, dtype=mf.dtype),
+            K=jnp.asarray(K, dtype=mf.dtype),
+            geo=jnp.asarray(geo_brick, dtype=mf.dtype),
+            sub_ids=jnp.asarray(sub_ids.astype(np.int32)),
+            absent_sub=jnp.asarray(absent_sub),
+            hn_sub=jnp.asarray(hn_sub),
+            hn_masks=jnp.asarray(bs.hn_masks),
+            closure=jnp.asarray(bs.hn_closure.astype(np.float64), dtype=mf.dtype),
+            P=jnp.asarray(si.P, dtype=mf.dtype),
+            transfers=groups,
+            level_zero=level_zero,
+            node_valid=jnp.asarray(nv_pad),
+            face_pool_id=jnp.asarray(bs.face_pool_id.astype(np.int32)),
+            edge_pool_id=jnp.asarray(bs.edge_pool_id.astype(np.int32)),
+            corner_pool_id=jnp.asarray(bs.corner_pool_id.astype(np.int32)),
+            geo_sub=jnp.asarray(geo_brick[sub_ids], dtype=mf.dtype),
+            present_sub=jnp.asarray(present_sub.astype(np.float64), dtype=mf.dtype),
+        )
+        self._jit_vmult = jax.jit(self._vmult_impl)
+
+    # ------------------------------------------------------------ conversions
+    def from_dof_vector(self, u):
+        bs = self.bs
+        u_dist = self.mf.constraints.distribute(np.asarray(u))
+        flat = np.zeros(bs.n_bricks * self.N3, dtype=self.mf.dtype)
+        flat[bs.node_valid] = u_dist[bs.node_dof[bs.node_valid]]
+        flat = flat.reshape(bs.n_bricks, self.N3)
+        out = np.zeros((bs.n_bricks, self.N3p), dtype=self.mf.dtype)
+        out[:, : self.N3] = flat
+        return jnp.asarray(out)
+
+    def to_dof_vector(self, bv, zero_hanging=False):
+        bs = self.bs
+        arr = np.asarray(bv)[:, : self.N3].reshape(-1)
+        u = arr[bs.owner_node_of_dof]
+        if zero_hanging:
+            u = u.copy()
+            u[self.mf.constraints.constrained_dof_marker()] = 0.0
+        return u
+
+    # ------------------------------------------------------------------ dss
+    def _dss_surface(self, surf, a):
+        """Pool face/edge/corner interface classes on [nb, n_surf] arrays."""
+        bs = self.bs
+        nb = bs.n_bricks
+        out = surf
+        # faces: 6 blocks of 225
+        fsize = (bs.NB - 2) ** 2
+        fblock = out[:, : 6 * fsize].reshape(nb, 6, fsize)
+        pool = jnp.zeros((bs.n_face_pools, fsize), surf.dtype)
+        pool = pool.at[a["face_pool_id"].reshape(-1)].add(
+            fblock.reshape(-1, fsize)
+        )
+        fnew = pool[a["face_pool_id"].reshape(-1)].reshape(nb, 6 * fsize)
+        # edges: 12 blocks of NB-2
+        esize = bs.NB - 2
+        off = 6 * fsize
+        eblock = out[:, off : off + 12 * esize].reshape(nb, 12, esize)
+        epool = jnp.zeros((bs.n_edge_pools, esize), surf.dtype)
+        epool = epool.at[a["edge_pool_id"].reshape(-1)].add(
+            eblock.reshape(-1, esize)
+        )
+        enew = epool[a["edge_pool_id"].reshape(-1)].reshape(nb, 12 * esize)
+        # corners: 8 scalars
+        off2 = off + 12 * esize
+        cblock = out[:, off2 : off2 + 8]
+        cpool = jnp.zeros((bs.n_corner_pools,), surf.dtype)
+        cpool = cpool.at[a["corner_pool_id"].reshape(-1)].add(cblock.reshape(-1))
+        cnew = cpool[a["corner_pool_id"].reshape(-1)].reshape(nb, 8)
+        return jnp.concatenate([fnew, enew, cnew], axis=1)
+
+    # ---------------------------------------------------------------- vmult
+    def _vmult_impl(self, bv, a):
+        from .ops.hanging_nodes import apply_hanging_node_constraints
+
+        bs = self.bs
+        dim = bs.dim
+        C = bs.B**dim
+        # 1) main path: assembled brick operator, one big MXU matmul
+        v = jnp.dot(bv, a["A"].T, preferred_element_type=bv.dtype)
+        v = v * a["geo"][:, None]
+
+        # 2) corrections on the exceptional-brick subset: absent (hole) cells
+        #    contribute nothing; constrained cells contribute HN^T values with
+        #    their closure slots folded (chained) into coarse neighbors.
+        if self._n_sub:
+            u_sub = jnp.take(bv, a["sub_ids"], axis=0)
+            cols_u = jnp.dot(u_sub, a["E"].T, preferred_element_type=bv.dtype)
+            cols_u = cols_u.reshape(-1, a["K"].shape[0])  # [n_sub*C, n_loc]
+            geo_c = jnp.repeat(a["geo_sub"], C)[:, None]
+            plain = jnp.dot(cols_u, a["K"].T, preferred_element_type=bv.dtype)
+            plain = plain * geo_c  # per-cell scale BEFORE folds (levels differ)
+            final = plain
+            if a["absent_sub"].shape[0]:
+                final = final.at[a["absent_sub"]].set(0.0)
+            if a["hn_sub"].shape[0]:
+                own = jnp.take(final, a["hn_sub"], axis=0)
+                sub_raw = apply_hanging_node_constraints(
+                    own, a["hn_masks"], a["P"], dim, transpose=True
+                )
+                final = final.at[a["hn_sub"]].set(sub_raw)
+                for lv in sorted(self._levels, reverse=True):
+                    rows_all, coarse_all = [], []
+                    for g in a["transfers"][lv]:
+                        rows_all.append(
+                            jnp.dot(jnp.take(final, g["fine"], axis=0), g["T"],
+                                    preferred_element_type=bv.dtype)
+                        )
+                        coarse_all.append(g["coarse"])
+                    lz = a["level_zero"][lv]
+                    zeroed = jnp.take(final, lz["lin"], axis=0) * lz["keep"]
+                    final = final.at[jnp.concatenate(coarse_all)].add(
+                        jnp.concatenate(rows_all, axis=0)
+                    )
+                    final = final.at[lz["lin"]].set(zeroed)
+            delta = final - plain
+            dsub = jnp.dot(delta.reshape(self._n_sub, -1), a["E"],
+                           preferred_element_type=bv.dtype)
+            v = v.at[a["sub_ids"]].add(dsub)
+
+        # 3) cross-brick DSS on the surface vector
+        surf = jnp.dot(v, a["Es"].T, preferred_element_type=bv.dtype)
+        surf_new = self._dss_surface(surf, a)
+        v = v + jnp.dot(surf_new - surf, a["Es"], preferred_element_type=bv.dtype)
+        v = jnp.where(a["node_valid"], v, 0.0)
+
+        # 4) fill pass on the subset (restore the distributed invariant)
+        if self._n_sub and a["hn_sub"].shape[0]:
+            v_sub = jnp.take(v, a["sub_ids"], axis=0)
+            cols2 = jnp.dot(v_sub, a["E"].T, preferred_element_type=bv.dtype)
+            cols2 = cols2.reshape(-1, a["K"].shape[0])
+            orig_rows = jnp.take(cols2, a["hn_sub"], axis=0)
+            for lv in sorted(self._levels):
+                lz = a["level_zero"][lv]
+                cols2 = cols2.at[lz["lin"]].set(
+                    jnp.take(cols2, lz["lin"], axis=0) * lz["keep"]
+                )
+                rows_all, fine_all = [], []
+                for g in a["transfers"][lv]:
+                    rows_all.append(
+                        jnp.dot(jnp.take(cols2, g["coarse"], axis=0), g["T"].T,
+                                preferred_element_type=bv.dtype)
+                    )
+                    fine_all.append(g["fine"])
+                cols2 = cols2.at[jnp.concatenate(fine_all)].add(
+                    jnp.concatenate(rows_all, axis=0)
+                )
+            sub2 = apply_hanging_node_constraints(
+                jnp.take(cols2, a["hn_sub"], axis=0), a["hn_masks"], a["P"], dim,
+                transpose=False,
+            )
+            # node updates from changed (constrained) cells only; every
+            # covering writer holds the same value, so divide by coverage
+            diff = sub2 - orig_rows
+            dcols = jnp.zeros_like(cols2).at[a["hn_sub"]].set(diff)
+            ccount = jnp.zeros_like(cols2).at[a["hn_sub"]].set(jnp.ones_like(diff))
+            num = jnp.dot(dcols.reshape(self._n_sub, -1), a["E"],
+                          preferred_element_type=bv.dtype)
+            den = jnp.dot(ccount.reshape(self._n_sub, -1), a["E"],
+                          preferred_element_type=bv.dtype)
+            v = v.at[a["sub_ids"]].add(
+                jnp.where(den > 0, num / jnp.maximum(den, 1.0), 0.0)
+            )
+        return jnp.where(a["node_valid"], v, 0.0)
+
+    def vmult(self, bv):
         return self._jit_vmult(bv, self.arrays)
