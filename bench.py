@@ -23,12 +23,20 @@ def main():
     nref = int(os.environ.get("BENCH_NREF", "6"))
     degree = int(os.environ.get("BENCH_DEGREE", "4"))
     n_reps = int(os.environ.get("BENCH_REPS", "100"))
+    engine = os.environ.get("BENCH_ENGINE", "bricks")
 
     tria = mfhn.create_quadrant(3, nref)
     mf = MatrixFree(tria, degree=degree, dtype=np.float32)
-    op = LaplaceOperator(mf)
     rng = np.random.default_rng(0)
-    src = jnp.asarray(rng.standard_normal(mf.n_dofs), dtype=jnp.float32)
+    src_np = rng.standard_normal(mf.n_dofs).astype(np.float32)
+    if engine == "bricks":
+        from dealii_matrixfree_hanging_nodes_tpu.bricks import BrickLaplaceMM
+
+        op = BrickLaplaceMM(mf)
+        src = op.from_dof_vector(src_np)
+    else:
+        op = LaplaceOperator(mf)
+        src = jnp.asarray(src_np)
 
     # Honest timing on remote/tunneled backends: block_until_ready can return
     # before execution completes, so (a) chain each rep on the previous result

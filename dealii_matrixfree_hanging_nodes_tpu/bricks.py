@@ -748,8 +748,12 @@ class BrickLaplaceMM:
       subset cols domain exactly as in BrickLaplace.
     """
 
-    def __init__(self, mf: MatrixFree, brick_size: int = 4):
+    def __init__(self, mf: MatrixFree, brick_size: int = 4,
+                 matmul_precision: str = "high"):
         self.mf = mf
+        # 'default' = fastest (bf16 multiplies), 'high' = 3-pass bf16
+        # (~f32 accuracy), 'highest' = exact f32
+        self._precision = matmul_precision
         self.bs = bs = BrickStructure(mf, brick_size)
         p, B, NB, dim = bs.p, bs.B, bs.NB, bs.dim
         self.n = n = p + 1
@@ -877,9 +881,9 @@ class BrickLaplaceMM:
             T[g.src_slots, g.dst_slots] = 1.0
             groups[g.level].append(
                 dict(
-                    fine=jnp.asarray(remap(g.fine_cells)),
-                    coarse=jnp.asarray(remap(g.coarse_cells)),
-                    T=jnp.asarray(T, dtype=mf.dtype),
+                    fine=np.asarray(remap(g.fine_cells)),
+                    coarse=np.asarray(remap(g.coarse_cells)),
+                    T=np.asarray(T, dtype=mf.dtype),
                 )
             )
         xfer_levels = np.asarray(mf.tria.level[bs.xfer_cells])
@@ -887,8 +891,8 @@ class BrickLaplaceMM:
         for lv in levels:
             sel = xfer_levels == lv
             level_zero[lv] = dict(
-                lin=jnp.asarray(hn_sub[sel]),
-                keep=jnp.asarray(
+                lin=np.asarray(hn_sub[sel]),
+                keep=np.asarray(
                     1.0 - bs.hn_closure[sel].astype(np.float64), dtype=mf.dtype
                 ),
             )
@@ -907,27 +911,34 @@ class BrickLaplaceMM:
         nv_pad[:, :N3] = node_valid
 
         self.arrays = dict(
-            A=jnp.asarray(A_full, dtype=mf.dtype),
-            E=jnp.asarray(E, dtype=mf.dtype),
-            Es=jnp.asarray(Es, dtype=mf.dtype),
-            K=jnp.asarray(K, dtype=mf.dtype),
-            geo=jnp.asarray(geo_brick, dtype=mf.dtype),
-            sub_ids=jnp.asarray(sub_ids.astype(np.int32)),
-            absent_sub=jnp.asarray(absent_sub),
-            hn_sub=jnp.asarray(hn_sub),
-            hn_masks=jnp.asarray(bs.hn_masks),
-            closure=jnp.asarray(bs.hn_closure.astype(np.float64), dtype=mf.dtype),
-            P=jnp.asarray(si.P, dtype=mf.dtype),
+            A=np.asarray(A_full, dtype=mf.dtype),
+            E=np.asarray(E, dtype=mf.dtype),
+            Es=np.asarray(Es, dtype=mf.dtype),
+            K=np.asarray(K, dtype=mf.dtype),
+            geo=np.asarray(geo_brick, dtype=mf.dtype),
+            sub_ids=np.asarray(sub_ids.astype(np.int32)),
+            absent_sub=np.asarray(absent_sub),
+            hn_sub=np.asarray(hn_sub),
+            hn_masks=np.asarray(bs.hn_masks),
+            closure=np.asarray(bs.hn_closure.astype(np.float64), dtype=mf.dtype),
+            P=np.asarray(si.P, dtype=mf.dtype),
             transfers=groups,
             level_zero=level_zero,
-            node_valid=jnp.asarray(nv_pad),
-            face_pool_id=jnp.asarray(bs.face_pool_id.astype(np.int32)),
-            edge_pool_id=jnp.asarray(bs.edge_pool_id.astype(np.int32)),
-            corner_pool_id=jnp.asarray(bs.corner_pool_id.astype(np.int32)),
-            geo_sub=jnp.asarray(geo_brick[sub_ids], dtype=mf.dtype),
-            present_sub=jnp.asarray(present_sub.astype(np.float64), dtype=mf.dtype),
+            node_valid=np.asarray(nv_pad),
+            face_pool_id=np.asarray(bs.face_pool_id.astype(np.int32)),
+            edge_pool_id=np.asarray(bs.edge_pool_id.astype(np.int32)),
+            corner_pool_id=np.asarray(bs.corner_pool_id.astype(np.int32)),
+            geo_sub=np.asarray(geo_brick[sub_ids], dtype=mf.dtype),
+            present_sub=np.asarray(present_sub.astype(np.float64), dtype=mf.dtype),
         )
+        self._np_arrays = self.arrays
+        self.arrays = None  # staged lazily on first vmult
         self._jit_vmult = jax.jit(self._vmult_impl)
+
+    def _stage(self):
+        if self.arrays is None:
+            self.arrays = jax.tree.map(jnp.asarray, self._np_arrays)
+        return self.arrays
 
     # ------------------------------------------------------------ conversions
     def from_dof_vector(self, u):
@@ -1075,4 +1086,9 @@ class BrickLaplaceMM:
         return jnp.where(a["node_valid"], v, 0.0)
 
     def vmult(self, bv):
-        return self._jit_vmult(bv, self.arrays)
+        import jax as _jax
+
+        prec = {"default": "default", "high": "tensorfloat32",
+                "highest": "highest"}.get(self._precision, self._precision)
+        with _jax.default_matmul_precision(prec):
+            return self._jit_vmult(bv, self._stage())

@@ -82,33 +82,33 @@ class MatrixFree:
         self.n_hn_cells = len(hn_idx)
         self._first_hn = int(hn_idx[0]) if len(hn_idx) else self.n_cells
 
-        # ---- device tensors
-        self.dofmap = jnp.asarray(dofmap)
-        self.dofmap_plain = jnp.asarray(dofmap_plain)
-        self.masks = jnp.asarray(masks)
-        self.hn_idx = jnp.asarray(hn_idx.astype(np.int32))
-        self.hn_masks = jnp.asarray(masks[hn_idx])
-        self.geo = jnp.asarray(geo, dtype=self.dtype)
-        self.S = jnp.asarray(self.shape.S, dtype=self.dtype)
-        self.D = jnp.asarray(self.shape.D, dtype=self.dtype)
-        self.Dc = jnp.asarray(self.shape.Dc, dtype=self.dtype)
-        self.P = jnp.asarray(self.shape.P, dtype=self.dtype)
-        self.quad_w = jnp.asarray(
-            self.shape.quad_weights_tensor(self.dim), dtype=self.dtype
-        )
-        # slow path CSR (legacy AffineConstraints analog, C5)
+        # ---- host tensors; device staging is LAZY. Initializing the TPU
+        # backend starts runtime threads that severely degrade host NumPy on
+        # single-vCPU machines, so all setup must finish before first use.
         ci = self.constraints
-        self._slow = dict(
-            slave=jnp.asarray(ci.slave_dofs.astype(np.int32)),
-            row=jnp.asarray(
-                np.repeat(
+        self._np = dict(
+            dofmap=dofmap,
+            dofmap_plain=dofmap_plain,
+            masks=masks,
+            hn_idx=hn_idx.astype(np.int32),
+            hn_masks=masks[hn_idx],
+            geo=geo.astype(self.dtype),
+            S=self.shape.S.astype(self.dtype),
+            D=self.shape.D.astype(self.dtype),
+            Dc=self.shape.Dc.astype(self.dtype),
+            P=self.shape.P.astype(self.dtype),
+            quad_w=self.shape.quad_weights_tensor(self.dim).astype(self.dtype),
+            slow=dict(
+                slave=ci.slave_dofs.astype(np.int32),
+                row=np.repeat(
                     np.arange(len(ci.slave_dofs), dtype=np.int32),
                     np.diff(ci.row_ptr),
-                )
+                ),
+                col=ci.col.astype(np.int32),
+                w=ci.weight.astype(self.dtype),
             ),
-            col=jnp.asarray(ci.col.astype(np.int32)),
-            w=jnp.asarray(ci.weight, dtype=self.dtype),
         )
+        self._staged = None
 
     # ------------------------------------------------------------------
     def initialize_dof_vector(self, fill=0.0) -> jnp.ndarray:
@@ -120,22 +120,21 @@ class MatrixFree:
 
         Closing over multi-MB arrays embeds them as constants in the HLO,
         which explodes compile time and can defeat fast gather paths — always
-        thread this pytree through jitted entry points instead.
+        thread this pytree through jitted entry points instead. Staged to
+        device lazily on first access.
         """
-        return dict(
-            dofmap=self.dofmap,
-            dofmap_plain=self.dofmap_plain,
-            masks=self.masks,
-            hn_idx=self.hn_idx,
-            hn_masks=self.hn_masks,
-            geo=self.geo,
-            S=self.S,
-            D=self.D,
-            Dc=self.Dc,
-            P=self.P,
-            quad_w=self.quad_w,
-            slow=self._slow,
-        )
+        if self._staged is None:
+            self._staged = jax.tree.map(jnp.asarray, self._np)
+        return self._staged
+
+    def __getattr__(self, name):
+        # lazy device views of the setup tensors (dofmap, masks, geo, ...)
+        np_store = self.__dict__.get("_np")
+        if np_store is not None and name in np_store:
+            return self.arrays[name]
+        if np_store is not None and name == "_slow":
+            return self.arrays["slow"]
+        raise AttributeError(name)
 
     # ---- fast hanging-node application (C2) ---------------------------
     def apply_hanging_node_constraints(self, u: jnp.ndarray, transpose: bool, arrays=None):

@@ -72,7 +72,8 @@ def test_high_order_mapping_reduces_to_cartesian_when_identity():
     import jax.numpy as jnp
 
     geo = deformed_laplace_factors(t, mf_ho.shape, transform=lambda x: x)
-    mf_ho.geo = jnp.asarray(geo)
+    mf_ho._np["geo"] = geo.astype(mf_ho.dtype)
+    mf_ho._staged = None  # re-stage with the overridden geometry
     rng = np.random.default_rng(3)
     src = rng.standard_normal(mf_cart.n_dofs)
     a = np.asarray(LaplaceOperator(mf_cart).vmult(src))
