@@ -20,7 +20,7 @@ def main():
     from dealii_matrixfree_hanging_nodes_tpu.matrix_free import MatrixFree
     from dealii_matrixfree_hanging_nodes_tpu.models.laplace import LaplaceOperator
 
-    nref = int(os.environ.get("BENCH_NREF", "6"))
+    nref = int(os.environ.get("BENCH_NREF", "7"))
     degree = int(os.environ.get("BENCH_DEGREE", "4"))
     n_reps = int(os.environ.get("BENCH_REPS", "100"))
     engine = os.environ.get("BENCH_ENGINE", "bricks")
