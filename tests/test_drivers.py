@@ -96,3 +96,12 @@ def test_table_output():
     t.set_scientific("t", True)
     text = t.write_text()
     assert "n" in text and "1.2346e-04" in text
+
+
+def test_solve_01_driver():
+    from benchmarks import solve_01
+
+    table = solve_01.run(2, 2)
+    row = table.rows()[0]
+    assert row["iters"] <= row["iters_unprec"]
+    assert row["err"] < 1e-6
