@@ -144,12 +144,12 @@ class BrickStructure:
         self.cell_at[self.cell_lin] = np.arange(tria.n_active_cells)
 
         # geometry factor per brick cell (Cartesian: h^(dim-2), equal axes)
-        geo = np.asarray(mf.geo)[:, 0]  # [n_cells]
+        geo = mf._np["geo"][:, 0]  # [n_cells]
         self.geo_b = np.zeros(ncb)
         self.geo_b[self.cell_lin] = geo
 
         # masks / hn subset in brick-cell numbering
-        masks = np.asarray(mf.masks)
+        masks = mf._np["masks"]
         self.masks_b = np.zeros(ncb, dtype=np.int32)
         self.masks_b[self.cell_lin] = masks
 
@@ -328,7 +328,7 @@ class BrickStructure:
         n = p + 1
         lat = self._lat
         ci = mf.constraints
-        masks = np.asarray(mf.masks)
+        masks = mf._np["masks"]
         hn_cells = np.nonzero(masks != 0)[0]
         groups = []
         for mval in np.unique(masks[hn_cells]):

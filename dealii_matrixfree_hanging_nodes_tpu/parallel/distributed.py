@@ -58,12 +58,13 @@ class DistributedLaplace:
     def _setup(self, weights):
         mf, R = self.mf, self.n_ranks
         n_cells, n_dofs = mf.n_cells, mf.n_dofs
-        dofmap = np.asarray(mf.dofmap)  # fast map (masters), int32
-        masks = np.asarray(mf.masks)
-        geo = np.asarray(mf.geo)
+        # host copies (avoid triggering device staging during setup)
+        dofmap = mf._np["dofmap"]
+        masks = mf._np["masks"]
+        geo = mf._np["geo"]
 
         self.rank_of_cell = partition_cells(n_cells, R, weights)
-        owner = dof_owners(np.asarray(mf.dofmap_plain), self.rank_of_cell, n_dofs)
+        owner = dof_owners(mf._np["dofmap_plain"], self.rank_of_cell, n_dofs)
         # every dof must be referenced by some cell
         assert owner.max() < R
 
@@ -104,7 +105,7 @@ class DistributedLaplace:
         referenced_by = [set() for _ in range(R)]
         for r in range(R):
             sel = self.rank_of_cell == r
-            refs = np.unique(np.asarray(mf.dofmap_plain)[sel])
+            refs = np.unique(mf._np["dofmap_plain"][sel])
             self.n_ghost[r] = int(np.count_nonzero(owner[refs] != r))
             for rr in np.unique(owner[refs]):
                 if rr != r:
