@@ -96,10 +96,22 @@ class _TransferGroup:
     level: int = 0  # refinement level of the fine cells
 
 
+def auto_brick_size(degree: int) -> int:
+    """Largest power-of-two B keeping the assembled brick operator
+    (B*p+1)^3 square matrix in a reasonable footprint (<~100 MB f32)."""
+    best = 2
+    for B in (2, 4, 8):
+        if (B * degree + 1) ** 3 <= 5100:
+            best = B
+    return best
+
+
 class BrickStructure:
     """Static brick layout + exchange plan derived from a MatrixFree object."""
 
-    def __init__(self, mf: MatrixFree, brick_size: int = 4):
+    def __init__(self, mf: MatrixFree, brick_size: int | None = None):
+        if brick_size is None:
+            brick_size = auto_brick_size(mf.degree)
         if mf.dim != 3:
             raise NotImplementedError("brick engine currently supports dim=3")
         if mf.categorize:
@@ -391,7 +403,7 @@ class BrickLaplace:
     col2im into a Pallas kernel.
     """
 
-    def __init__(self, mf: MatrixFree, brick_size: int = 4):
+    def __init__(self, mf: MatrixFree, brick_size: int | None = None):
         self.mf = mf
         self.bs = bs = BrickStructure(mf, brick_size)
         p, B, NB, dim = bs.p, bs.B, bs.NB, bs.dim
@@ -748,7 +760,7 @@ class BrickLaplaceMM:
       subset cols domain exactly as in BrickLaplace.
     """
 
-    def __init__(self, mf: MatrixFree, brick_size: int = 4,
+    def __init__(self, mf: MatrixFree, brick_size: int | None = None,
                  matmul_precision: str = "high"):
         self.mf = mf
         # 'default' = fastest (bf16 multiplies), 'high' = 3-pass bf16
@@ -1084,6 +1096,23 @@ class BrickLaplaceMM:
                 jnp.where(den > 0, num / jnp.maximum(den, 1.0), 0.0)
             )
         return jnp.where(a["node_valid"], v, 0.0)
+
+    # ---------------------------------------------- vector space helpers
+    def dot_mask(self):
+        """[nb, N3p] weights: 1 at the owner copy of each non-hanging dof —
+        <u, v> over the reduced CG space = sum(mask * u * v)."""
+        if not hasattr(self, "_dot_mask"):
+            bs = self.bs
+            m = np.zeros((bs.n_bricks, self.N3p), dtype=self.mf.dtype)
+            m[:, : self.N3] = bs.dot_mask.reshape(bs.n_bricks, self.N3)
+            self._dot_mask = jnp.asarray(m)
+        return self._dot_mask
+
+    def dot(self, u, v):
+        return jnp.sum(self.dot_mask() * u * v)
+
+    def norm(self, u):
+        return jnp.sqrt(self.dot(u, u))
 
     def vmult(self, bv):
         import jax as _jax
