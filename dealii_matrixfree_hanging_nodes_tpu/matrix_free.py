@@ -124,7 +124,16 @@ class MatrixFree:
         device lazily on first access.
         """
         if self._staged is None:
-            self._staged = jax.tree.map(jnp.asarray, self._np)
+            staged = jax.tree.map(jnp.asarray, self._np)
+            if any(
+                isinstance(leaf, jax.core.Tracer)
+                for leaf in jax.tree.leaves(staged)
+            ):
+                # first touch happened inside a jit/shard_map trace: the
+                # converted values are tracers — use them for this trace but
+                # do NOT cache (they would leak out of the transformation)
+                return staged
+            self._staged = staged
         return self._staged
 
     def __getattr__(self, name):
