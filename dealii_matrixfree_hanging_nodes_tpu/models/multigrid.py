@@ -220,31 +220,36 @@ class Transfer:
 
 
 # --------------------------------------------------------------------------
-def solve_cg(op, b, M=None, tol=1e-8, max_iter=500):
-    """(Preconditioned) conjugate gradients; returns (x, n_iters, res_norm)."""
+def solve_cg(op, b, M=None, tol=1e-8, max_iter=500, dot=None):
+    """(Preconditioned) conjugate gradients; returns (x, n_iters, res_norm).
+
+    ``dot`` overrides the inner product — e.g. BrickLaplaceMM.dot, which
+    weights each CG dof once across its duplicated brick copies, so CG can
+    run entirely in the fast brick layout."""
+    dot = dot if dot is not None else (lambda u, v: jnp.vdot(u, v))
     x = jnp.zeros_like(b)
     r = b
     z = M(r) if M else r
     p = z
-    rz = jnp.vdot(r, z)
-    b_norm = float(jnp.linalg.norm(b))
+    rz = dot(r, z)
+    b_norm = float(jnp.sqrt(dot(b, b)))
     if b_norm == 0:
         return x, 0, 0.0
     it = 0
     for it in range(1, max_iter + 1):
         Ap = op.vmult(p)
-        alpha = rz / jnp.vdot(p, Ap)
+        alpha = rz / dot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
-        res = float(jnp.linalg.norm(r))
+        res = float(jnp.sqrt(dot(r, r)))
         if res < tol * b_norm:
             break
         z = M(r) if M else r
-        rz_new = jnp.vdot(r, z)
+        rz_new = dot(r, z)
         beta = rz_new / rz
         rz = rz_new
         p = z + beta * p
-    return x, it, float(jnp.linalg.norm(r))
+    return x, it, float(jnp.sqrt(dot(r, r)))
 
 
 # --------------------------------------------------------------------------

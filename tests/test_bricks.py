@@ -43,3 +43,23 @@ def test_brick_roundtrip_identity():
     # non-hanging dofs round-trip exactly; hanging carry distributed values
     free = ~mf.constraints.constrained_dof_marker()
     assert np.array_equal(v[free], u[free])
+
+
+def test_brick_space_cg():
+    """CG runs entirely in the brick layout with the reduced-space dot."""
+    from dealii_matrixfree_hanging_nodes_tpu.models.multigrid import solve_cg
+
+    t = mfhn.create_quadrant(3, 3)
+    mf = MatrixFree(t, 2, dtype=np.float64)
+    bl = BrickLaplaceMM(mf)
+    rng = np.random.default_rng(0)
+    xstar = mf.constraints.distribute(rng.standard_normal(mf.n_dofs))
+    bx = bl.from_dof_vector(xstar)
+    b = bl.vmult(bx)
+    x, iters, res = solve_cg(bl, b, tol=1e-9, max_iter=3000, dot=bl.dot)
+    # singular Neumann operator: solution unique up to a constant
+    got = bl.to_dof_vector(x)
+    free = ~mf.constraints.constrained_dof_marker()
+    shift = (got[free] - xstar[free]).mean()
+    err = np.abs(got[free] - xstar[free] - shift).max()
+    assert err < 1e-5, (iters, res, err)
