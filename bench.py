@@ -30,11 +30,17 @@ def main():
     rng = np.random.default_rng(0)
     src_np = rng.standard_normal(mf.n_dofs).astype(np.float32)
     if engine == "bricks":
-        from dealii_matrixfree_hanging_nodes_tpu.bricks import BrickLaplaceMM
+        try:
+            from dealii_matrixfree_hanging_nodes_tpu.bricks import BrickLaplaceMM
 
-        op = BrickLaplaceMM(mf)
-        src = op.from_dof_vector(src_np)
-    else:
+            op = BrickLaplaceMM(
+                mf, matmul_precision=os.environ.get("BENCH_PRECISION", "high")
+            )
+            src = op.from_dof_vector(src_np)
+        except Exception as e:  # safety net: fall back to the index engine
+            print(f"brick engine unavailable ({e}); falling back", file=sys.stderr)
+            engine = "xla"
+    if engine != "bricks":
         op = LaplaceOperator(mf)
         src = jnp.asarray(src_np)
 
