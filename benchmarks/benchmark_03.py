@@ -38,13 +38,22 @@ def run(
     dim: int = 3,
     dtype=np.float32,
     table=None,
+    engine: str = "index",
 ):
+    """engine="index" is the reference's MemorySpace::Host analog;
+    engine="bricks" is the device-native path (the CUDA analog)."""
     table = table if table is not None else ConvergenceTable()
     for n_ref in range(min_ref, max_ref + 1):
         tria = mfhn.create_geometry(geometry, dim, n_ref)
         mf = MatrixFree(tria, degree, dtype=dtype)
         src = jnp.asarray(interpolate(mf.dof_handler), dtype=mf.dtype)
         scale = jnp.asarray(1e-3, mf.dtype)
+        brick_op = None
+        if engine == "bricks" and dim == 3:
+            from dealii_matrixfree_hanging_nodes_tpu.bricks import BrickLaplaceMM
+
+            brick_op = BrickLaplaceMM(mf)
+            src_b = brick_op.from_dof_vector(np.asarray(src))
 
         table.add_value("geometry", geometry)
         table.add_value("n_ref", n_ref)
@@ -54,10 +63,16 @@ def run(
         table.add_value("n_dofs", mf.n_dofs)
 
         for constraints, tag in ((True, ""), (False, "_plain")):
-            op = LaplaceOperator(mf, constraints=constraints)
-            res = repeat_timed(
-                lambda x: op.vmult(x * scale), src, n_reps=n_reps, n_trials=3
-            )
+            if brick_op is not None and constraints:
+                res = repeat_timed(
+                    lambda x: brick_op.vmult(x * scale), src_b,
+                    n_reps=n_reps, n_trials=3,
+                )
+            else:
+                op = LaplaceOperator(mf, constraints=constraints)
+                res = repeat_timed(
+                    lambda x: op.vmult(x * scale), src, n_reps=n_reps, n_trials=3
+                )
             table.add_value("time_min" + tag, res.min)
             table.set_scientific("time_min" + tag, True)
             table.add_value("time_avg" + tag, res.avg)
@@ -75,4 +90,5 @@ if __name__ == "__main__":
     degree = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     min_ref = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     max_ref = int(sys.argv[4]) if len(sys.argv) > 4 else 6
-    run(geometry, degree, min_ref, max_ref)
+    engine = "bricks" if "--bricks" in sys.argv else "index"
+    run(geometry, degree, min_ref, max_ref, engine=engine)
