@@ -11,6 +11,7 @@ from dealii_matrixfree_hanging_nodes_tpu.bricks import BrickLaplace, BrickLaplac
 CASES = [
     ("quadrant", 3, 2),
     ("quadrant", 4, 3),
+    ("quadrant", 5, 1),  # 5 levels: deep fold/fill chains, B=8 bricks
     ("step", 3, 2),
     ("annulus", 5, 2),
     ("uniform", 2, 2),
