@@ -67,7 +67,6 @@ def run(nref: int = 3, degree: int = 2, dtype=np.float64):
             return dop.vmult(v)
 
     xd, it_d, res_d = solve_cg(_Op(), bb, tol=1e-8, max_iter=2000)
-    got = dop.gather_vector(xd)
     # distributed solve of A x = A src recovers src on the free dofs up to
     # the constant nullspace component; verify via residual instead
     rb = dop.gather_vector(bb) - dop.gather_vector(dop.vmult(xd))

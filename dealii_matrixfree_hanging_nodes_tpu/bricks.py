@@ -566,7 +566,7 @@ class BrickLaplace:
         p, B, NB = bs.p, bs.B, bs.NB
         nb = n_bricks if n_bricks is not None else bs.n_bricks
         v = vals.reshape(nb, B, B, B, self.n**3)
-        out = jnp.zeros((nb, NB, NB, NB), vals.dtype)  # noqa - nb may be subset
+        out = jnp.zeros((nb, NB, NB, NB), vals.dtype)
         lim = (B - 1) * p + 1
         k = 0
         for kz in range(self.n):
@@ -837,8 +837,6 @@ class BrickLaplaceMM:
                     coord = [None, None, None]
                     coord[axes[0]] = 0 if sa == 0 else NB - 1
                     coord[axes[1]] = 0 if sb == 0 else NB - 1
-                    zz = [None, None, None]
-                    vals = {}
                     pts = []
                     for t in inner:
                         cc = [0, 0, 0]

@@ -124,7 +124,6 @@ class Transfer:
             missing = cover < 0
             if not missing.any():
                 break
-            k = tc.pack(lvl[missing] - up + up * 0, crd[missing])  # current coords
             kk = tc.pack(lvl[missing], crd[missing])
             pos = np.searchsorted(keys_sorted, kk)
             pos_c = np.clip(pos, 0, len(keys_sorted) - 1)
@@ -158,8 +157,6 @@ class Transfer:
         # prolongated vector is written exactly once per fine dof
         cd_f = np.asarray(mf_fine.dof_handler.cell_dofs)
         flat = cd_f.ravel()
-        first = np.zeros(mf_fine.n_dofs, dtype=np.int64)
-        np.minimum.reduceat  # noqa - documented intent
         order = np.argsort(flat, kind="stable")
         uniq, start = np.unique(flat[order], return_index=True)
         first_flat = order[start]  # first linear (cell,slot) per dof

@@ -19,8 +19,6 @@ partitioner statistics dumped to CSV at benchmark_02.cc:136-165.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
