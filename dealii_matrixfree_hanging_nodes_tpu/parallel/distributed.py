@@ -42,12 +42,25 @@ class DistributedLaplace:
         weights=None,
         perform_communication: bool = True,
         axis_name: str = "cells",
+        sm_group_size: int | None = None,
     ):
+        """sm_group_size: hierarchical communication analog of the
+        reference's MPI-3 shared-memory communicator (communicator_sm,
+        benchmark_02.cc:122-123): devices are arranged on a 2D
+        (inter-group x intra-group) mesh and the ghost all_gather runs in
+        two stages so the inner stage rides the fast domain (ICI), the
+        outer the slow one (DCN)."""
         self.mf = mf
         devices = devices if devices is not None else jax.devices()
         self.n_ranks = len(devices)
         self.axis_name = axis_name
-        self.mesh = Mesh(np.array(devices), (axis_name,))
+        self.sm_group_size = sm_group_size
+        if sm_group_size:
+            assert self.n_ranks % sm_group_size == 0
+            grid = np.array(devices).reshape(-1, sm_group_size)
+            self.mesh = Mesh(grid, ("nodes", axis_name))
+        else:
+            self.mesh = Mesh(np.array(devices), (axis_name,))
         self.perform_communication = perform_communication
         self._setup(weights)
         self._build_step()
@@ -117,11 +130,17 @@ class DistributedLaplace:
         ax = self.axis_name
         comm = self.perform_communication
 
+        sm = self.sm_group_size
+
         def local_vmult(src_own, dofmap, masks, geo):
             # src_own: [1, n_own_max] local shard; squeeze rank axis
             src_own = src_own[0]
             dofmap, masks, geo = dofmap[0], masks[0], geo[0]
-            if comm:
+            if comm and sm:
+                # two-stage ghost update: intra-group (ICI) then inter-group
+                intra = jax.lax.all_gather(src_own, ax, tiled=True)
+                full = jax.lax.all_gather(intra, "nodes", tiled=True)
+            elif comm:
                 full = jax.lax.all_gather(src_own, ax, tiled=True)
             else:
                 # no-comm ablation: pretend the local shard tiles the domain
@@ -134,13 +153,23 @@ class DistributedLaplace:
             v = apply_hanging_node_constraints(v, masks, mf.P, dim, True)
             contrib = jnp.zeros(self.n_padded, dtype=v.dtype)
             contrib = contrib.at[dofmap.reshape(-1)].add(v.reshape(-1))
-            if comm:
+            if comm and sm:
+                # reverse halo in two stages: inter-group reduce first,
+                # then scatter within the fast domain
+                part = jax.lax.psum_scatter(
+                    contrib, "nodes", scatter_dimension=0, tiled=True
+                )
+                own = jax.lax.psum_scatter(part, ax, scatter_dimension=0, tiled=True)
+            elif comm:
                 own = jax.lax.psum_scatter(contrib, ax, scatter_dimension=0, tiled=True)
             else:
                 own = contrib[: self.n_own_max]
             return own[None, :]
 
-        spec = P(ax)
+        if self.sm_group_size:
+            spec = P(("nodes", ax))
+        else:
+            spec = P(ax)
         self._vmult = jax.jit(
             jax.shard_map(
                 local_vmult,
@@ -156,9 +185,10 @@ class DistributedLaplace:
         out = np.zeros(self.n_padded, dtype=self.mf.dtype)
         out[self.padded_id] = u
         arr = out.reshape(self.n_ranks, self.n_own_max)
-        return jax.device_put(
-            arr, jax.sharding.NamedSharding(self.mesh, P(self.axis_name))
+        spec = (
+            P(("nodes", self.axis_name)) if self.sm_group_size else P(self.axis_name)
         )
+        return jax.device_put(arr, jax.sharding.NamedSharding(self.mesh, spec))
 
     def gather_vector(self, v: jnp.ndarray) -> np.ndarray:
         """Sharded padded vector -> old-numbering global vector."""

@@ -81,3 +81,16 @@ def test_graft_entry_dryrun():
     out = fn(*args)
     assert np.isfinite(np.asarray(out)).all()
     ge.dryrun_multichip(8)
+
+
+def test_distributed_sm_groups():
+    """Hierarchical (communicator_sm analog) two-stage ghost exchange over a
+    (nodes x chips) mesh matches the flat result exactly."""
+    t = mfhn.create_quadrant(3, 3)
+    mf = MatrixFree(t, 2, dtype=np.float64)
+    rng = np.random.default_rng(5)
+    src = rng.standard_normal(mf.n_dofs)
+    ref = np.asarray(LaplaceOperator(mf).vmult(src))
+    dop = DistributedLaplace(mf, sm_group_size=4)  # 2 nodes x 4 chips
+    got = dop.gather_vector(dop.vmult(dop.scatter_vector(src)))
+    assert np.abs(got - ref).max() < 1e-12 * np.abs(ref).max()
