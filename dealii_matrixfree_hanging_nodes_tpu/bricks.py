@@ -1119,3 +1119,22 @@ class BrickLaplaceMM:
                 "highest": "highest"}.get(self._precision, self._precision)
         with _jax.default_matmul_precision(prec):
             return self._jit_vmult(bv, self._stage())
+
+    def vmult_multi(self, bvk):
+        """Multi-RHS vmult: bvk [n_rhs, n_bricks, N3p] -> same shape.
+
+        vmapping the single-vector pipeline turns every structural matmul
+        into a batched matmul that re-reads the assembled brick operator and
+        the one-hot movers ONCE for the whole block — the block-Krylov
+        amortization that pushes per-vector throughput well beyond the
+        single-vector rate."""
+        import jax as _jax
+
+        if not hasattr(self, "_jit_vmult_multi"):
+            self._jit_vmult_multi = _jax.jit(
+                _jax.vmap(self._vmult_impl, in_axes=(0, None))
+            )
+        prec = {"default": "default", "high": "tensorfloat32",
+                "highest": "highest"}.get(self._precision, self._precision)
+        with _jax.default_matmul_precision(prec):
+            return self._jit_vmult_multi(bvk, self._stage())

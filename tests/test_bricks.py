@@ -64,3 +64,16 @@ def test_brick_space_cg():
     shift = (got[free] - xstar[free]).mean()
     err = np.abs(got[free] - xstar[free] - shift).max()
     assert err < 1e-5, (iters, res, err)
+
+
+def test_vmult_multi_matches_single():
+    t = mfhn.create_quadrant(3, 3)
+    mf = MatrixFree(t, 2, dtype=np.float64)
+    bl = BrickLaplaceMM(mf)
+    rng = np.random.default_rng(2)
+    vs = [mf.constraints.distribute(rng.standard_normal(mf.n_dofs)) for _ in range(3)]
+    bvk = jnp.stack([bl.from_dof_vector(v) for v in vs])
+    multi = bl.vmult_multi(bvk)
+    for k, v in enumerate(vs):
+        single = bl.vmult(bl.from_dof_vector(v))
+        assert float(jnp.abs(multi[k] - single).max()) < 1e-12
