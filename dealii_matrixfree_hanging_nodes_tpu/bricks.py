@@ -1123,11 +1123,11 @@ class BrickLaplaceMM:
     def vmult_multi(self, bvk):
         """Multi-RHS vmult: bvk [n_rhs, n_bricks, N3p] -> same shape.
 
-        vmapping the single-vector pipeline turns every structural matmul
-        into a batched matmul that re-reads the assembled brick operator and
-        the one-hot movers ONCE for the whole block — the block-Krylov
-        amortization that pushes per-vector throughput well beyond the
-        single-vector rate."""
+        Functional block-Krylov interface (verified equal to stacked single
+        vmults). NOTE: this vmapped implementation does not yet amortize the
+        operator reads on the current backend (measured slower per vector
+        than the single path); a dedicated blocked formulation that feeds
+        [N3p, n_rhs*nb] matmuls is queued for round 2 (PERF.md)."""
         import jax as _jax
 
         if not hasattr(self, "_jit_vmult_multi"):
