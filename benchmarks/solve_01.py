@@ -35,7 +35,13 @@ from dealii_matrixfree_hanging_nodes_tpu.utils.table import ConvergenceTable
 
 
 def run(nref: int = 3, degree: int = 2, dtype=np.float64):
+    """NOTE: f64 on TPU is software-emulated with reduced effective
+    precision; tight Krylov tolerances only converge on CPU. On accelerator
+    platforms the driver relaxes tolerances accordingly."""
     table = ConvergenceTable()
+    on_cpu = jax.default_backend() == "cpu"
+    tol_gmg = 1e-10 if on_cpu else 1e-6
+    tol_dist = 1e-8 if on_cpu else 1e-4
 
     # ---- single-chip GMG-CG
     gmg = GMGPreconditioner("quadrant", 3, nref, degree, dtype=dtype)
@@ -44,10 +50,10 @@ def run(nref: int = 3, degree: int = 2, dtype=np.float64):
     xstar = mf.constraints.distribute(rng.standard_normal(mf.n_dofs))
     xstar = np.asarray(jnp.asarray(xstar).at[op.bdofs].set(0.0))
     b = op.vmult(jnp.asarray(xstar))
-    x, it_gmg, res = solve_cg(op, b, M=gmg, tol=1e-10, max_iter=100)
+    x, it_gmg, res = solve_cg(op, b, M=gmg, tol=tol_gmg, max_iter=100)
     free = ~mf.constraints.constrained_dof_marker()
     err = float(np.abs(np.asarray(x)[free] - xstar[free]).max())
-    x2, it_plain, _ = solve_cg(op, b, tol=1e-10, max_iter=2000)
+    x2, it_plain, _ = solve_cg(op, b, tol=tol_gmg, max_iter=2000)
     table.add_value("solver", "GMG-CG")
     table.add_value("n_dofs", mf.n_dofs)
     table.add_value("iters", it_gmg)
@@ -66,7 +72,7 @@ def run(nref: int = 3, degree: int = 2, dtype=np.float64):
         def vmult(self, v):
             return dop.vmult(v)
 
-    xd, it_d, res_d = solve_cg(_Op(), bb, tol=1e-8, max_iter=2000)
+    xd, it_d, res_d = solve_cg(_Op(), bb, tol=tol_dist, max_iter=2000)
     # distributed solve of A x = A src recovers src on the free dofs up to
     # the constant nullspace component; verify via residual instead
     rb = dop.gather_vector(bb) - dop.gather_vector(dop.vmult(xd))

@@ -52,10 +52,12 @@ def laplace_cell_kernel(mf: MatrixFree):
 class LaplaceOperator:
     """vmult = cell_loop(laplace kernel); fast or legacy constraint path."""
 
-    def __init__(self, mf: MatrixFree, constraints: bool = True, slow: bool = False):
+    def __init__(self, mf: MatrixFree, constraints: bool = True, slow: bool = False,
+                 matmul_precision: str = "tensorfloat32"):
         self.mf = mf
         self.constraints = constraints
         self.slow = slow
+        self._precision = matmul_precision
         kernel = laplace_cell_kernel(mf)
 
         def _vmult(src, arrays):
@@ -67,7 +69,10 @@ class LaplaceOperator:
         self._arrays = mf.arrays
 
     def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
-        return self._jit(src, self._arrays)
+        # TPU f32 matmuls default to bf16 multiplies (~1e-3 rel error);
+        # tf32 keeps the sum-factorization sweeps at ~1e-5 with minor cost
+        with jax.default_matmul_precision(self._precision):
+            return self._jit(src, self._arrays)
 
     def __call__(self, src: jnp.ndarray) -> jnp.ndarray:
         return self.vmult(src)
