@@ -44,7 +44,7 @@ class MatrixFree:
         categorize: bool = False,
         high_order_mapping: bool = False,
     ):
-        if hn_mode not in ("compact", "all", "sorted"):
+        if hn_mode not in ("compact", "all", "sorted", "matrix"):
             raise ValueError(f"unknown hn_mode {hn_mode!r}")
         if hn_mode == "sorted":
             categorize = True
@@ -82,6 +82,13 @@ class MatrixFree:
         self.n_hn_cells = len(hn_idx)
         self._first_hn = int(hn_idx[0]) if len(hn_idx) else self.n_cells
 
+        # "matrix" runner: per-distinct-mask composite interpolation matrix
+        # Q_mask = (sweep_2 ∘ sweep_1 ∘ sweep_0)(I), so the whole in-register
+        # interpolation becomes one small MXU matmul per mask group — the
+        # dense-composite evolution of the "sorted" runner. Built eagerly
+        # (must not run under a jit trace).
+        self._hn_matrix_groups = None
+
         # ---- host tensors; device staging is LAZY. Initializing the TPU
         # backend starts runtime threads that severely degrade host NumPy on
         # single-vCPU machines, so all setup must finish before first use.
@@ -109,6 +116,8 @@ class MatrixFree:
             ),
         )
         self._staged = None
+        if hn_mode == "matrix":
+            self._hn_matrix_data()  # eager: must not build under a jit trace
 
     # ------------------------------------------------------------------
     def initialize_dof_vector(self, fill=0.0) -> jnp.ndarray:
@@ -146,10 +155,45 @@ class MatrixFree:
         raise AttributeError(name)
 
     # ---- fast hanging-node application (C2) ---------------------------
+    def _hn_matrix_data(self):
+        """Per-mask composite matrices for hn_mode="matrix" (built eagerly)."""
+        if self._hn_matrix_groups is None:
+            from .ops.hanging_nodes import apply_hanging_node_constraints as hn
+
+            n_loc = self.shape.n_dofs_per_cell(self.dim)
+            masks_np = self._np["masks"]
+            hn_idx = self._np["hn_idx"]
+            uniq = np.unique(masks_np[hn_idx])
+            eye = jnp.eye(n_loc, dtype=self.dtype)
+            groups = []
+            for mv in uniq:
+                # columns of Q: kernel applied to identity basis vectors
+                Q = np.asarray(
+                    hn(eye, jnp.full((n_loc,), int(mv), jnp.int32),
+                       jnp.asarray(self.shape.P, dtype=self.dtype), self.dim)
+                ).T  # rows act on cell values: out = u @ Q^T
+                cells = hn_idx[masks_np[hn_idx] == mv]
+                groups.append(
+                    dict(
+                        cells=jnp.asarray(cells.astype(np.int32)),
+                        Q=jnp.asarray(Q, dtype=self.dtype),
+                    )
+                )
+            self._hn_matrix_groups = groups
+        return self._hn_matrix_groups
+
     def apply_hanging_node_constraints(self, u: jnp.ndarray, transpose: bool, arrays=None):
         """In-register HN interpolation on cell-local values [n_cells, n_loc]."""
         a = arrays if arrays is not None else self.arrays
         if self.n_hn_cells == 0:
+            return u
+        if self.hn_mode == "matrix":
+            for g in self._hn_matrix_data():
+                rows = jnp.take(u, g["cells"], axis=0)
+                Q = g["Q"].T if transpose else g["Q"]
+                u = u.at[g["cells"]].set(
+                    jnp.dot(rows, Q.T, preferred_element_type=u.dtype)
+                )
             return u
         if self.hn_mode == "all":
             return apply_hanging_node_constraints(

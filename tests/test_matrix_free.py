@@ -41,7 +41,7 @@ def test_fast_equals_slow_and_modes():
     slow = np.asarray(LaplaceOperator(mf, slow=True).vmult(src))
     scale = np.abs(base).max()
     assert np.abs(base - slow).max() < 1e-12 * scale
-    for mode in ("all", "sorted"):
+    for mode in ("all", "sorted", "matrix"):
         mf2 = MatrixFree(t, p, dtype=np.float64, hn_mode=mode)
         got = np.asarray(LaplaceOperator(mf2).vmult(src))
         assert np.abs(got - base).max() < 1e-12 * scale, mode
