@@ -41,6 +41,8 @@ def main():
             print(f"brick engine unavailable ({e}); falling back", file=sys.stderr)
             engine = "xla"
     if engine != "bricks":
+        if engine != "xla":
+            print(f"unknown BENCH_ENGINE={engine!r}; using index engine", file=sys.stderr)
         op = LaplaceOperator(mf)
         src = jnp.asarray(src_np)
 
