@@ -197,6 +197,15 @@ def compute_cost(t_n: float, t_hn: float, info: Info) -> float:
 def run_benchmark(parameters_vector, dim=3, n_reps=100, table=None):
     table = table if table is not None else ConvergenceTable()
     for param in parameters_vector:
+        # runtime verification that the requested vectorization type maps to
+        # an available runner (the analog of the compiled-variant assertions
+        # at benchmark_01.cc:126-158)
+        expected = {"index": "compact", "sorted": "sorted", "group": "all"}
+        if param.vectorization_type not in expected:
+            raise ValueError(
+                f"unknown VectorizationType {param.vectorization_type!r}"
+            )
+        assert param.hn_mode == expected[param.vectorization_type]
         test = Test(
             param.degree,
             param.geometry_type,
@@ -215,6 +224,7 @@ def run_benchmark(parameters_vector, dim=3, n_reps=100, table=None):
         ).split():
             table.add_value(k, getattr(info, k))
         table.add_value("degree", param.degree)
+        table.add_value("vect", param.vectorization_type)
 
         t0 = test.run(False, False, False)
         t1 = test.run(False, True, False)
