@@ -43,6 +43,7 @@ class DistributedLaplace:
         perform_communication: bool = True,
         axis_name: str = "cells",
         sm_group_size: int | None = None,
+        exchange: str = "allgather",
     ):
         """sm_group_size: hierarchical communication analog of the
         reference's MPI-3 shared-memory communicator (communicator_sm,
@@ -50,7 +51,12 @@ class DistributedLaplace:
         (inter-group x intra-group) mesh and the ghost all_gather runs in
         two stages so the inner stage rides the fast domain (ICI), the
         outer the slow one (DCN)."""
+        if exchange not in ("allgather", "halo"):
+            raise ValueError(f"unknown exchange mode {exchange!r}")
+        if exchange == "halo" and sm_group_size:
+            raise ValueError("halo exchange and sm groups are exclusive")
         self.mf = mf
+        self.exchange = exchange
         devices = devices if devices is not None else jax.devices()
         self.n_ranks = len(devices)
         self.axis_name = axis_name
@@ -123,6 +129,68 @@ class DistributedLaplace:
                     referenced_by[rr].update(refs[owner[refs] == rr].tolist())
         self.n_import = np.array([len(s) for s in referenced_by], dtype=np.int64)
 
+        if self.exchange == "halo":
+            self._build_halo_plan(owner)
+
+    # ------------------------------------------------------- halo plan
+    def _build_halo_plan(self, owner):
+        """Static halo-exchange plan: per (receiver r, sender s) the padded
+        list of s-owned dofs referenced by r's cells. The exchange is ONE
+        lax.all_to_all of [R, max_pair] buffers per direction — traffic is
+        the actual ghost set (padded), not the whole vector
+        (LinearAlgebra::distributed::Vector partitioner semantics)."""
+        mf, R = self.mf, self.n_ranks
+        dofmap_plain = mf._np["dofmap_plain"]
+        dofmap = mf._np["dofmap"]
+        n_own_max = self.n_own_max
+
+        ghost = [[np.zeros(0, np.int64)] * R for _ in range(R)]
+        for r in range(R):
+            refs = np.unique(dofmap[self.rank_of_cell == r])
+            for srank in range(R):
+                if srank != r:
+                    ghost[r][srank] = refs[owner[refs] == srank]
+        max_pair = max(
+            (len(ghost[r][srank]) for r in range(R) for srank in range(R)), default=1
+        )
+        max_pair = max(max_pair, 1)
+        self.halo_max_pair = max_pair
+
+        # send_idx[r, s, :]: local slots (in r's shard) r sends to s
+        send_idx = np.zeros((R, R, max_pair), dtype=np.int32)
+        send_valid = np.zeros((R, R, max_pair), dtype=bool)
+        for r in range(R):
+            for srank in range(R):
+                g = ghost[srank][r]  # what srank needs FROM r
+                loc = self.padded_id[g] - r * n_own_max
+                assert (loc >= 0).all() and (loc < n_own_max).all()
+                send_idx[r, srank, : len(loc)] = loc
+                send_valid[r, srank, : len(loc)] = True
+
+        # local dofmaps: global padded id -> [own | ghost-blocks] position
+        local_size = n_own_max + R * max_pair
+        dm_local = np.zeros((R, self.n_cell_max, dofmap.shape[1]), dtype=np.int32)
+        for r in range(R):
+            lut = {}
+            for srank in range(R):
+                for j, d in enumerate(ghost[r][srank]):
+                    lut[int(self.padded_id[d])] = n_own_max + srank * max_pair + j
+            sel = np.nonzero(self.rank_of_cell == r)[0]
+            pad_ids = self.padded_id[dofmap[sel]]
+            own_lo, own_hi = r * n_own_max, (r + 1) * n_own_max
+            local = np.empty_like(pad_ids, dtype=np.int64)
+            own_mask = (pad_ids >= own_lo) & (pad_ids < own_hi)
+            local[own_mask] = pad_ids[own_mask] - own_lo
+            flat = pad_ids[~own_mask]
+            local[~own_mask] = np.array([lut[int(x)] for x in flat], dtype=np.int64)
+            dm_local[r, : len(sel)] = local
+        self.halo = dict(
+            send_idx=jnp.asarray(send_idx),
+            send_valid=jnp.asarray(send_valid.astype(np.float32)),
+            dm_local=jnp.asarray(dm_local),
+            local_size=local_size,
+        )
+
     # ------------------------------------------------------------ step
     def _build_step(self):
         mf = self.mf
@@ -166,6 +234,46 @@ class DistributedLaplace:
                 own = contrib[: self.n_own_max]
             return own[None, :]
 
+        if self.exchange == "halo":
+            halo = self.halo
+            n_own_max = self.n_own_max
+            R = self.n_ranks
+
+            def local_vmult_halo(src_own, dm_local, masks, geo, send_idx, send_valid):
+                src_own = src_own[0]
+                dm_local, masks, geo = dm_local[0], masks[0], geo[0]
+                send_idx, send_valid = send_idx[0], send_valid[0]
+                # forward halo: one all_to_all of the padded ghost buffers
+                send = src_own[send_idx] * send_valid
+                recv = jax.lax.all_to_all(send, ax, split_axis=0, concat_axis=0, tiled=False)
+                local = jnp.concatenate([src_own, recv.reshape(-1)])
+                u = local[dm_local]
+                u = apply_hanging_node_constraints(u, masks, mf.P, dim, False)
+                g = evaluate_gradients(u, mf.S, mf.Dc, dim)
+                g = g * geo[:, :, None] * mf.quad_w[None, None, :]
+                v = integrate_gradients(g, mf.S, mf.Dc, dim)
+                v = apply_hanging_node_constraints(v, masks, mf.P, dim, True)
+                acc = jnp.zeros(halo["local_size"], dtype=v.dtype)
+                acc = acc.at[dm_local.reshape(-1)].add(v.reshape(-1))
+                own = acc[:n_own_max]
+                ghosts = acc[n_own_max:].reshape(R, -1)
+                # reverse halo: return contributions to their owners
+                back = jax.lax.all_to_all(ghosts, ax, split_axis=0, concat_axis=0, tiled=False)
+                own = own.at[send_idx.reshape(-1)].add(
+                    (back * send_valid).reshape(-1)
+                )
+                return own[None, :]
+
+            spec = P(ax)
+            self._vmult_halo = jax.jit(
+                jax.shard_map(
+                    local_vmult_halo,
+                    mesh=self.mesh,
+                    in_specs=(spec,) * 6,
+                    out_specs=spec,
+                )
+            )
+
         if self.sm_group_size:
             spec = P(("nodes", ax))
         else:
@@ -195,4 +303,14 @@ class DistributedLaplace:
         return np.asarray(v).reshape(-1)[self.padded_id]
 
     def vmult(self, src_sharded: jnp.ndarray) -> jnp.ndarray:
+        if self.exchange == "halo":
+            h = self.halo
+            if "dm_local_s" not in h:
+                sharding = jax.sharding.NamedSharding(self.mesh, P(self.axis_name))
+                for k in ("dm_local", "send_idx", "send_valid"):
+                    h[k + "_s"] = jax.device_put(h[k], sharding)
+            return self._vmult_halo(
+                src_sharded, h["dm_local_s"], self.masks_r, self.geo_r,
+                h["send_idx_s"], h["send_valid_s"],
+            )
         return self._vmult(src_sharded, self.dofmap_r, self.masks_r, self.geo_r)

@@ -94,3 +94,17 @@ def test_distributed_sm_groups():
     dop = DistributedLaplace(mf, sm_group_size=4)  # 2 nodes x 4 chips
     got = dop.gather_vector(dop.vmult(dop.scatter_vector(src)))
     assert np.abs(got - ref).max() < 1e-12 * np.abs(ref).max()
+
+
+def test_halo_exchange_matches():
+    """Halo-minimal all_to_all ghost exchange == single-chip == all_gather
+    path; per-pair buffers are much smaller than the vector shard."""
+    t = mfhn.create_quadrant(3, 3)
+    mf = MatrixFree(t, 2, dtype=np.float64)
+    rng = np.random.default_rng(6)
+    src = rng.standard_normal(mf.n_dofs)
+    ref = np.asarray(LaplaceOperator(mf).vmult(src))
+    dop = DistributedLaplace(mf, exchange="halo")
+    got = dop.gather_vector(dop.vmult(dop.scatter_vector(src)))
+    assert np.abs(got - ref).max() < 1e-12 * np.abs(ref).max()
+    assert dop.halo_max_pair < dop.n_own_max
