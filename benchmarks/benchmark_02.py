@@ -42,6 +42,7 @@ def run(
     csv_prefix: str | None = None,
     dim: int = 3,
     dtype=np.float32,
+    exchange: str = "allgather",
 ):
     weights = weights if weights is not None else np.arange(1.0, 10.05, 0.1)
     tria = mfhn.create_geometry(geometry, dim, n_refinements)
@@ -58,7 +59,8 @@ def run(
     for w in weights:
         cw = hanging_nodes_weighting(constrained, float(w))
         dop = DistributedLaplace(
-            mf, weights=cw, perform_communication=perform_communication
+            mf, weights=cw, perform_communication=perform_communication,
+            exchange=exchange,
         )
         x0 = dop.scatter_vector(src0)
         res = repeat_timed(
@@ -101,4 +103,5 @@ if __name__ == "__main__":
         csv_prefix=prefix,
         perform_communication="--no-comm" not in sys.argv,
         weights=np.arange(1.0, 10.05, 0.5) if "--coarse" in sys.argv else None,
+        exchange="halo" if "--halo" in sys.argv else "allgather",
     )
