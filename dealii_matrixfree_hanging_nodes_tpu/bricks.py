@@ -96,12 +96,12 @@ class _TransferGroup:
     level: int = 0  # refinement level of the fine cells
 
 
-def auto_brick_size(degree: int) -> int:
+def auto_brick_size(degree: int, dim: int = 3) -> int:
     """Largest power-of-two B keeping the assembled brick operator
-    (B*p+1)^3 square matrix in a reasonable footprint (<~100 MB f32)."""
+    (B*p+1)^dim square matrix in a reasonable footprint (<~100 MB f32)."""
     best = 2
     for B in (2, 4, 8):
-        if (B * degree + 1) ** 3 <= 5100:
+        if (B * degree + 1) ** dim <= 5100:
             best = B
     return best
 
@@ -111,9 +111,9 @@ class BrickStructure:
 
     def __init__(self, mf: MatrixFree, brick_size: int | None = None):
         if brick_size is None:
-            brick_size = auto_brick_size(mf.degree)
-        if mf.dim != 3:
-            raise NotImplementedError("brick engine currently supports dim=3")
+            brick_size = auto_brick_size(mf.degree, mf.dim)
+        if mf.dim not in (2, 3):
+            raise NotImplementedError("brick engine supports dim=2,3")
         if mf.categorize:
             raise ValueError("brick engine requires original cell order")
         self.mf = mf
@@ -133,17 +133,18 @@ class BrickStructure:
         # ---- brick membership -------------------------------------------
         lvl = tria.level
         bc = tria.coord >> np.int64(logB)
-        bkey = (lvl << np.int64(48)) | (bc[:, 0] << np.int64(32)) | (
-            bc[:, 1] << np.int64(16)) | bc[:, 2]
+        bkey = lvl.astype(np.int64)
+        for d in range(dim):
+            bkey = (bkey << np.int64(16)) | bc[:, d]
         ukeys, brick_of_cell = np.unique(bkey, return_inverse=True)
         self.n_bricks = len(ukeys)
-        self.brick_level = (ukeys >> np.int64(48)).astype(np.int64)
+        self.brick_level = (ukeys >> np.int64(16 * dim)).astype(np.int64)
         self.brick_coord = np.stack(
-            [(ukeys >> np.int64(32)) & 0xFFFF,
-             (ukeys >> np.int64(16)) & 0xFFFF,
-             ukeys & 0xFFFF], axis=1).astype(np.int64)
+            [(ukeys >> np.int64(16 * (dim - 1 - d))) & 0xFFFF for d in range(dim)],
+            axis=1,
+        ).astype(np.int64)
         lc = (tria.coord & (B - 1)).astype(np.int64)
-        slot = lc[:, 0] + B * lc[:, 1] + B * B * lc[:, 2]
+        slot = sum(lc[:, d] * B**d for d in range(dim))
         self.brick_of_cell = brick_of_cell
         self.slot_of_cell = slot
         self.cell_lin = brick_of_cell * (B**dim) + slot  # brick-cell linear id
@@ -199,7 +200,7 @@ class BrickStructure:
             has = ((face_b >> d) & 1) == 1
             side = ((sub_b >> d) & 1) * p
             closure |= has[:, None] & (lat[None, :, d] == side[:, None])
-        for e in range(dim):
+        for e in range(dim if dim == 3 else 0):
             a, b = [x for x in range(3) if x != e]
             has = ((edge_b >> e) & 1) == 1
             sa = ((sub_b >> a) & 1) * p
@@ -220,14 +221,10 @@ class BrickStructure:
 
         # ---- node -> dof maps --------------------------------------------
         # brick node index of (cell slot, local lattice): per axis lc*p + il
-        cell_node_offsets = (
-            lat[:, 0][None, :]
-            + NB * lat[:, 1][None, :]
-            + NB * NB * lat[:, 2][None, :]
+        cell_node_offsets = sum(
+            lat[:, d][None, :] * NB**d for d in range(dim)
         )  # [1, n_loc]
-        base = (
-            lc[:, 0] * p + NB * (lc[:, 1] * p) + NB * NB * (lc[:, 2] * p)
-        )  # [n_cells]
+        base = sum(lc[:, d] * p * NB**d for d in range(dim))  # [n_cells]
         self.cell_node_index = base[:, None] + cell_node_offsets  # [n_cells, n_loc]
 
         nnode = self.n_bricks * NB**dim
@@ -261,10 +258,13 @@ class BrickStructure:
     # ----------------------------------------------------------------- pools
     def _face_key(self, lvlb, bcb, d, side):
         """Geometric key of a brick face (canonical: lower brick, +d face)."""
+        dim = self.dim
         c = bcb.copy()
         c[:, d] = c[:, d] + side  # face plane index in units of brick grid
-        return ((lvlb << np.int64(50)) | (np.int64(d) << np.int64(48))
-                | (c[:, 0] << np.int64(32)) | (c[:, 1] << np.int64(16)) | c[:, 2])
+        k = (lvlb << np.int64(16 * dim + 4)) | (np.int64(d) << np.int64(16 * dim))
+        for dd in range(dim):
+            k = k | (c[:, dd] << np.int64(16 * (dim - 1 - dd)))
+        return k
 
     def _build_pools(self):
         NB = self.NB
@@ -277,58 +277,52 @@ class BrickStructure:
         # to keep each node in exactly one pool class, face pools carry only
         # the face-interior (1..NB-2)^2, edge pools the edge-interior, and
         # corner pools the 8 corners.
-        face_entries = []  # (brick, d, side) rows
+        dim = self.dim
         keys = []
-        for d in range(3):
+        for d in range(dim):
             for side in (0, 1):
-                k = self._face_key(lvlb, bcb, d, side)
-                keys.append(k)
-                face_entries.append(
-                    np.stack([np.arange(nb), np.full(nb, d), np.full(nb, side)], 1)
-                )
+                keys.append(self._face_key(lvlb, bcb, d, side))
         keys = np.concatenate(keys)
-        entries = np.concatenate(face_entries)
         uk, inv = np.unique(keys, return_inverse=True)
-        # keep only interfaces shared by exactly 2 bricks (interior faces)
         counts = np.bincount(inv)
-        self.face_pool_id = inv.reshape(6, nb).T.copy()  # [nb, 6] (d*2+side)
+        self.face_pool_id = inv.reshape(2 * dim, nb).T.copy()  # [nb, 2*dim]
         self.n_face_pools = len(uk)
         self.face_pool_shared = counts == 2
 
-        # EDGE pools
-        edge_keys = []
-        edge_entries = []
-        eidx = 0
-        for e in range(3):
-            a, b = [x for x in range(3) if x != e]
-            for sa in (0, 1):
-                for sb in (0, 1):
-                    c = bcb.copy()
-                    c[:, a] += sa
-                    c[:, b] += sb
-                    k = ((lvlb << np.int64(50)) | (np.int64(e) << np.int64(48))
-                         | (c[:, 0] << np.int64(32)) | (c[:, 1] << np.int64(16))
-                         | c[:, 2])
-                    edge_keys.append(k)
-                    edge_entries.append(eidx)
-                    eidx += 1
-        ek = np.concatenate(edge_keys)
-        uek, einv = np.unique(ek, return_inverse=True)
-        self.edge_pool_id = einv.reshape(12, nb).T.copy()  # [nb, 12]
-        self.n_edge_pools = len(uek)
+        # EDGE pools (3D only: brick-edge lines shared by up to 4 bricks)
+        if dim == 3:
+            edge_keys = []
+            for e in range(3):
+                a, b = [x for x in range(3) if x != e]
+                for sa in (0, 1):
+                    for sb in (0, 1):
+                        c = bcb.copy()
+                        c[:, a] += sa
+                        c[:, b] += sb
+                        k = ((lvlb << np.int64(50)) | (np.int64(e) << np.int64(48))
+                             | (c[:, 0] << np.int64(32)) | (c[:, 1] << np.int64(16))
+                             | c[:, 2])
+                        edge_keys.append(k)
+            ek = np.concatenate(edge_keys)
+            uek, einv = np.unique(ek, return_inverse=True)
+            self.edge_pool_id = einv.reshape(12, nb).T.copy()  # [nb, 12]
+            self.n_edge_pools = len(uek)
+        else:
+            self.edge_pool_id = np.zeros((nb, 0), dtype=np.int64)
+            self.n_edge_pools = 0
 
-        # CORNER pools
+        # CORNER pools (2^dim per brick)
         ck = []
-        for sz in (0, 1):
-            for sy in (0, 1):
-                for sx in (0, 1):
-                    c = bcb + np.array([sx, sy, sz])
-                    k = ((lvlb << np.int64(50)) | (c[:, 0] << np.int64(32))
-                         | (c[:, 1] << np.int64(16)) | c[:, 2])
-                    ck.append(k)
+        for combo in range(2**dim):
+            off = np.array([(combo >> d) & 1 for d in range(dim)])
+            c = bcb + off
+            k = lvlb << np.int64(16 * dim)
+            for d in range(dim):
+                k = k | (c[:, d] << np.int64(16 * (dim - 1 - d)))
+            ck.append(k)
         ckk = np.concatenate(ck)
         uck, cinv = np.unique(ckk, return_inverse=True)
-        self.corner_pool_id = cinv.reshape(8, nb).T.copy()  # [nb, 8]
+        self.corner_pool_id = cinv.reshape(2**dim, nb).T.copy()  # [nb, 2^dim]
         self.n_corner_pools = len(uck)
 
     # ------------------------------------------------------------- transfers
@@ -369,15 +363,15 @@ class BrickStructure:
         vcells = np.nonzero(self.vertex_contact)[0]
         if len(vcells):
             sb = (mf.tria.coord[vcells] & 1).astype(np.int64)
-            combo = sb[:, 0] | (sb[:, 1] << 1) | (sb[:, 2] << 2)
+            combo = sum(sb[:, d] << d for d in range(dim))
             for cv in np.unique(combo):
                 sel = vcells[combo == cv]
-                s0, s1, s2 = cv & 1, (cv >> 1) & 1, (cv >> 2) & 1
+                bits = [(cv >> d) & 1 for d in range(dim)]
                 src = np.array(
-                    [s0 * p + n * (s1 * p) + n * n * (s2 * p)], dtype=np.int64
+                    [sum(bits[d] * p * (n**d) for d in range(dim))], dtype=np.int64
                 )
                 dst = np.array(
-                    [(1 - s0) * p + n * ((1 - s1) * p) + n * n * ((1 - s2) * p)],
+                    [sum((1 - bits[d]) * p * (n**d) for d in range(dim))],
                     dtype=np.int64,
                 )
                 for lv in np.unique(mf.tria.level[sel]):
@@ -404,6 +398,8 @@ class BrickLaplace:
     """
 
     def __init__(self, mf: MatrixFree, brick_size: int | None = None):
+        if mf.dim != 3:
+            raise NotImplementedError("use BrickLaplaceMM for dim=2")
         self.mf = mf
         self.bs = bs = BrickStructure(mf, brick_size)
         p, B, NB, dim = bs.p, bs.B, bs.NB, bs.dim
@@ -770,7 +766,7 @@ class BrickLaplaceMM:
         p, B, NB, dim = bs.p, bs.B, bs.NB, bs.dim
         self.n = n = p + 1
         n_loc = n**dim
-        N3 = NB**3
+        N3 = NB**dim
         self.N3 = N3
         self.N3p = N3p = ((N3 + 127) // 128) * 128
         C = B**dim
@@ -791,15 +787,12 @@ class BrickLaplaceMM:
 
         # per-slot node indices within a brick (same for all bricks)
         lat = local_lattice(p, dim)
+        slot_lat = local_lattice(B - 1, dim) if B > 1 else np.zeros((1, dim), int)
         slot_idx = np.zeros((C, n_loc), dtype=np.int64)
-        for lz in range(B):
-            for ly in range(B):
-                for lx in range(B):
-                    sl = lx + B * ly + B * B * lz
-                    base = lx * p + NB * (ly * p) + NB * NB * (lz * p)
-                    slot_idx[sl] = (
-                        base + lat[:, 0] + NB * lat[:, 1] + NB * NB * lat[:, 2]
-                    )
+        node_off = sum(lat[:, d] * NB**d for d in range(dim))
+        for sl in range(C):
+            base = sum(int(slot_lat[sl, d]) * p * NB**d for d in range(dim))
+            slot_idx[sl] = base + node_off
         self.slot_idx = slot_idx
 
         # assembled full-brick operator
@@ -811,53 +804,65 @@ class BrickLaplaceMM:
         E = np.zeros((C * n_loc, N3p), dtype=np.float64)
         E[np.arange(C * n_loc), slot_idx.reshape(-1)] = 1.0
 
-        # surface node ordering: 6 face interiors (225), 12 edge interiors
-        # (15), 8 corners — matches BrickStructure pool tables
+        # surface node ordering: face interiors, [3D: edge interiors], corners
+        # — block order must match BrickStructure's pool tables
         surf = []
         self._surf_layout = {}
         pos = 0
         inner = np.arange(1, NB - 1)
-        grid3 = lambda z, y, x: (z * NB + y) * NB + x
-        for d in range(3):
-            for side in (0, 1):
-                c = 0 if side == 0 else NB - 1
-                if d == 0:  # x-face: vary (z, y)
-                    ids = grid3(inner[:, None], inner[None, :], c)
-                elif d == 1:
-                    ids = grid3(inner[:, None], c, inner[None, :])
-                else:
-                    ids = grid3(c, inner[:, None], inner[None, :])
-                surf.append(ids.reshape(-1))
-                self._surf_layout[("face", d, side)] = (pos, ids.size)
-                pos += ids.size
-        for e in range(3):
-            axes = [x for x in range(3) if x != e]
-            for sa in (0, 1):
-                for sb in (0, 1):
-                    coord = [None, None, None]
-                    coord[axes[0]] = 0 if sa == 0 else NB - 1
-                    coord[axes[1]] = 0 if sb == 0 else NB - 1
-                    pts = []
-                    for t in inner:
-                        cc = [0, 0, 0]
-                        cc[e] = t
-                        cc[axes[0]] = coord[axes[0]]
-                        cc[axes[1]] = coord[axes[1]]
-                        pts.append(grid3(cc[2], cc[1], cc[0]))
-                    surf.append(np.array(pts))
-                    self._surf_layout[("edge", e, sa, sb)] = (pos, len(pts))
-                    pos += len(pts)
-        for sz in (0, 1):
-            for sy in (0, 1):
-                for sx in (0, 1):
-                    cc = [
-                        0 if sx == 0 else NB - 1,
-                        0 if sy == 0 else NB - 1,
-                        0 if sz == 0 else NB - 1,
-                    ]
-                    surf.append(np.array([grid3(cc[2], cc[1], cc[0])]))
-                    self._surf_layout[("corner", sz, sy, sx)] = (pos, 1)
-                    pos += 1
+        if dim == 3:
+            grid3 = lambda z, y, x: (z * NB + y) * NB + x
+            for d in range(3):
+                for side in (0, 1):
+                    c = 0 if side == 0 else NB - 1
+                    if d == 0:  # x-face: vary (z, y)
+                        ids = grid3(inner[:, None], inner[None, :], c)
+                    elif d == 1:
+                        ids = grid3(inner[:, None], c, inner[None, :])
+                    else:
+                        ids = grid3(c, inner[:, None], inner[None, :])
+                    surf.append(ids.reshape(-1))
+                    self._surf_layout[("face", d, side)] = (pos, ids.size)
+                    pos += ids.size
+            for e in range(3):
+                axes = [x for x in range(3) if x != e]
+                for sa in (0, 1):
+                    for sb in (0, 1):
+                        coord = [None, None, None]
+                        coord[axes[0]] = 0 if sa == 0 else NB - 1
+                        coord[axes[1]] = 0 if sb == 0 else NB - 1
+                        pts = []
+                        for t in inner:
+                            cc = [0, 0, 0]
+                            cc[e] = t
+                            cc[axes[0]] = coord[axes[0]]
+                            cc[axes[1]] = coord[axes[1]]
+                            pts.append(grid3(cc[2], cc[1], cc[0]))
+                        surf.append(np.array(pts))
+                        self._surf_layout[("edge", e, sa, sb)] = (pos, len(pts))
+                        pos += len(pts)
+            for combo in range(8):
+                cc = [(0 if ((combo >> d) & 1) == 0 else NB - 1) for d in range(3)]
+                surf.append(np.array([grid3(cc[2], cc[1], cc[0])]))
+                self._surf_layout[("corner", combo)] = (pos, 1)
+                pos += 1
+        else:  # dim == 2: face = side line interiors, then 4 corners
+            grid2 = lambda y, x: y * NB + x
+            for d in range(2):
+                for side in (0, 1):
+                    c = 0 if side == 0 else NB - 1
+                    if d == 0:  # x-side: vary y
+                        ids = grid2(inner, c)
+                    else:
+                        ids = grid2(c, inner)
+                    surf.append(ids.reshape(-1))
+                    self._surf_layout[("face", d, side)] = (pos, ids.size)
+                    pos += ids.size
+            for combo in range(4):
+                cc = [(0 if ((combo >> d) & 1) == 0 else NB - 1) for d in range(2)]
+                surf.append(np.array([grid2(cc[1], cc[0])]))
+                self._surf_layout[("corner", combo)] = (pos, 1)
+                pos += 1
         surf_idx = np.concatenate(surf)
         self.n_surf = len(surf_idx)
         Es = np.zeros((self.n_surf, N3p))
@@ -972,34 +977,37 @@ class BrickLaplaceMM:
 
     # ------------------------------------------------------------------ dss
     def _dss_surface(self, surf, a):
-        """Pool face/edge/corner interface classes on [nb, n_surf] arrays."""
+        """Pool face/[edge]/corner interface classes on [nb, n_surf] arrays."""
         bs = self.bs
         nb = bs.n_bricks
-        out = surf
-        # faces: 6 blocks of 225
-        fsize = (bs.NB - 2) ** 2
-        fblock = out[:, : 6 * fsize].reshape(nb, 6, fsize)
+        dim = bs.dim
+        nf = 2 * dim
+        fsize = (bs.NB - 2) ** (dim - 1)
+        fblock = surf[:, : nf * fsize].reshape(nb, nf, fsize)
         pool = jnp.zeros((bs.n_face_pools, fsize), surf.dtype)
         pool = pool.at[a["face_pool_id"].reshape(-1)].add(
             fblock.reshape(-1, fsize)
         )
-        fnew = pool[a["face_pool_id"].reshape(-1)].reshape(nb, 6 * fsize)
-        # edges: 12 blocks of NB-2
-        esize = bs.NB - 2
-        off = 6 * fsize
-        eblock = out[:, off : off + 12 * esize].reshape(nb, 12, esize)
-        epool = jnp.zeros((bs.n_edge_pools, esize), surf.dtype)
-        epool = epool.at[a["edge_pool_id"].reshape(-1)].add(
-            eblock.reshape(-1, esize)
-        )
-        enew = epool[a["edge_pool_id"].reshape(-1)].reshape(nb, 12 * esize)
-        # corners: 8 scalars
-        off2 = off + 12 * esize
-        cblock = out[:, off2 : off2 + 8]
+        fnew = pool[a["face_pool_id"].reshape(-1)].reshape(nb, nf * fsize)
+        off = nf * fsize
+        parts = [fnew]
+        if dim == 3:
+            esize = bs.NB - 2
+            eblock = surf[:, off : off + 12 * esize].reshape(nb, 12, esize)
+            epool = jnp.zeros((bs.n_edge_pools, esize), surf.dtype)
+            epool = epool.at[a["edge_pool_id"].reshape(-1)].add(
+                eblock.reshape(-1, esize)
+            )
+            parts.append(
+                epool[a["edge_pool_id"].reshape(-1)].reshape(nb, 12 * esize)
+            )
+            off += 12 * esize
+        ncorner = 2**dim
+        cblock = surf[:, off : off + ncorner]
         cpool = jnp.zeros((bs.n_corner_pools,), surf.dtype)
         cpool = cpool.at[a["corner_pool_id"].reshape(-1)].add(cblock.reshape(-1))
-        cnew = cpool[a["corner_pool_id"].reshape(-1)].reshape(nb, 8)
-        return jnp.concatenate([fnew, enew, cnew], axis=1)
+        parts.append(cpool[a["corner_pool_id"].reshape(-1)].reshape(nb, ncorner))
+        return jnp.concatenate(parts, axis=1)
 
     # ---------------------------------------------------------------- vmult
     def _vmult_impl(self, bv, a):

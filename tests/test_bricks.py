@@ -77,3 +77,20 @@ def test_vmult_multi_matches_single():
     for k, v in enumerate(vs):
         single = bl.vmult(bl.from_dof_vector(v))
         assert float(jnp.abs(multi[k] - single).max()) < 1e-12
+
+
+@pytest.mark.parametrize("geo,nref,p", [("quadrant", 3, 2), ("step", 3, 1),
+                                        ("uniform", 2, 2)])
+def test_brick_mm_2d(geo, nref, p):
+    t = mfhn.create_geometry(geo, 2, nref)
+    mf = MatrixFree(t, p, dtype=np.float64)
+    u = np.random.default_rng(0).standard_normal(mf.n_dofs)
+    ref = np.asarray(LaplaceOperator(mf).vmult(jnp.asarray(u)))
+    bl = BrickLaplaceMM(mf)
+    out = bl.vmult(bl.from_dof_vector(u))
+    got = bl.to_dof_vector(out, zero_hanging=True)
+    assert np.abs(got - ref).max() < 1e-12 * np.abs(ref).max()
+    out2 = bl.from_dof_vector(bl.to_dof_vector(out))
+    assert float(jnp.abs(out - out2).max()) < 1e-12 * max(
+        1.0, float(jnp.abs(out).max())
+    )
