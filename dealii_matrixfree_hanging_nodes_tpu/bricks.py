@@ -97,11 +97,16 @@ class _TransferGroup:
 
 
 def auto_brick_size(degree: int, dim: int = 3) -> int:
-    """Largest power-of-two B keeping the assembled brick operator
-    (B*p+1)^dim square matrix in a reasonable footprint (<~100 MB f32)."""
+    """Brick size heuristic, measured on v5e (PERF.md): B=4 wins for
+    p=1..4 in 3D (B=8's 512 cells/brick explodes the exceptional-cell
+    correction cost; B=2's operator is too small to amortize); B=2 for
+    p>=5 keeps the assembled operator within ~20 MB. 2D favors larger
+    bricks (cells/brick grows only quadratically)."""
     best = 2
+    cap = 5100 if dim == 3 else 2600
+    max_cells = 64 if dim == 3 else 256
     for B in (2, 4, 8):
-        if (B * degree + 1) ** dim <= 5100:
+        if (B * degree + 1) ** dim <= cap and B**dim <= max_cells:
             best = B
     return best
 
