@@ -82,3 +82,31 @@ def test_mask_memory_consumption():
     dh = DoFHandler(t, 4)
     ci = build_constraints(dh)
     assert ci.memory_consumption_masks() < ci.memory_consumption_matrix()
+
+
+def test_error_paths():
+    import pytest as _pt
+    from dealii_matrixfree_hanging_nodes_tpu.matrix_free import MatrixFree
+    from dealii_matrixfree_hanging_nodes_tpu.bricks import BrickStructure
+
+    t = mfhn.create_quadrant(3, 2)
+    with _pt.raises(ValueError):
+        MatrixFree(t, 2, hn_mode="bogus")
+    with _pt.raises(ValueError):
+        mfhn.create_geometry("bogus", 3, 2)
+    mf = MatrixFree(t, 2, dtype=np.float64, categorize=True)
+    with _pt.raises(ValueError):
+        BrickStructure(mf)
+
+
+def test_2d_annulus_constraints():
+    t = mfhn.create_annulus(2, 5)
+    assert t.n_global_levels >= 3
+    dh = DoFHandler(t, 4)
+    ci = build_constraints(dh)
+    pts = dh.support_points()
+    rng = np.random.default_rng(9)
+    coef = rng.standard_normal((2, 5))
+    u = np.polyval(coef[0], pts[:, 0]) * np.polyval(coef[1], pts[:, 1])
+    v = ci.distribute(u)
+    assert np.abs(v - u).max() < 1e-10 * max(1.0, np.abs(u).max())
