@@ -121,6 +121,11 @@ class BrickStructure:
             raise NotImplementedError("brick engine supports dim=2,3")
         if mf.categorize:
             raise ValueError("brick engine requires original cell order")
+        if mf.high_order_mapping:
+            raise NotImplementedError(
+                "brick engine supports Cartesian mappings only (deformed "
+                "MappingQCache runs on the index engine, mapping.py)"
+            )
         self.mf = mf
         self.B = B = brick_size
         self.p = p = mf.degree
@@ -189,11 +194,17 @@ class BrickStructure:
         self.vertex_contact = (vdiag >= 0) & (masks == 0)
         self.vertex_diag = vdiag
 
-        # transfer-active subset: constrained cells + vertex-contact cells
+        # transfer-active subset: constrained cells + vertex-contact cells,
+        # stable-sorted by mask so each distinct mask forms one contiguous
+        # range — the "sorted" runner analog; the engines then apply one
+        # composite [n_loc, n_loc] matmul per range instead of the
+        # per-cell masked-sweep kernel (7.7 ms -> ~0.1 ms at nref=7).
         xfer_sel = (masks != 0) | self.vertex_contact
-        self.xfer_cells = np.nonzero(xfer_sel)[0]
-        self.hn_lin = self.cell_lin[xfer_sel]
-        self.hn_masks = masks[xfer_sel].astype(np.int32)
+        xfer_cells = np.nonzero(xfer_sel)[0]
+        order = np.argsort(masks[xfer_cells], kind="stable")
+        self.xfer_cells = xfer_cells[order]
+        self.hn_lin = self.cell_lin[self.xfer_cells]
+        self.hn_masks = masks[self.xfer_cells].astype(np.int32)
 
         # constrained-closure slot mask (slots whose fast-map entry was
         # replaced by a coarse master): zeroed before col2im, filled by the
@@ -762,8 +773,11 @@ class BrickLaplaceMM:
     """
 
     def __init__(self, mf: MatrixFree, brick_size: int | None = None,
-                 matmul_precision: str = "high"):
+                 matmul_precision: str = "high", main_path: str = "separable"):
+        if main_path not in ("separable", "dense"):
+            raise ValueError(f"unknown main_path {main_path!r}")
         self.mf = mf
+        self.main_path = main_path
         # 'default' = fastest (bf16 multiplies), 'high' = 3-pass bf16
         # (~f32 accuracy), 'highest' = exact f32
         self._precision = matmul_precision
@@ -800,10 +814,32 @@ class BrickLaplaceMM:
             slot_idx[sl] = base + node_off
         self.slot_idx = slot_idx
 
-        # assembled full-brick operator
-        A_full = np.zeros((N3p, N3p))
-        for sl in range(C):
-            A_full[np.ix_(slot_idx[sl], slot_idx[sl])] += K
+        # Kronecker-separable brick operator: the brick is a tensor-product
+        # grid of B equal cells per axis, so the assembled brick matrix
+        # factors exactly as A = sum_d  prod_t (Kb if t==d else Mb)  with 1D
+        # assembled factors Kb/Mb [NB, NB] (x innermost). The main path
+        # applies these tiny factors instead of the dense [N3p, N3p] matrix:
+        # ~30x fewer FLOPs and ~5x less HBM traffic at p=4/B=4 (PERF.md).
+        Kb = np.zeros((NB, NB))
+        Mb = np.zeros((NB, NB))
+        for c in range(B):
+            csl = slice(c * p, c * p + n)
+            Kb[csl, csl] += K1
+            Mb[csl, csl] += M1
+        if dim == 3:
+            # xy-plane factors: A = Mz (x) Fxy + Kz (x) Mxy
+            Fxy = np.kron(Mb, Kb) + np.kron(Kb, Mb)
+            Mxy = np.kron(Mb, Mb)
+        else:
+            Fxy = Mxy = np.zeros((0, 0))
+
+        if main_path == "dense":
+            # assembled full-brick operator (kept for A/B benchmarking)
+            A_full = np.zeros((N3p, N3p))
+            for sl in range(C):
+                A_full[np.ix_(slot_idx[sl], slot_idx[sl])] += K
+        else:
+            A_full = np.zeros((0, 0))
 
         # one-hot patch matrix E [C*n_loc, N3p]: cols <-> brick nodes
         E = np.zeros((C * n_loc, N3p), dtype=np.float64)
@@ -917,11 +953,44 @@ class BrickLaplaceMM:
                 ),
             )
 
+        # mask-sorted contiguous HN groups -> one composite [n_loc, n_loc]
+        # matmul per distinct mask (hn cells were sorted by mask in
+        # BrickStructure; mask 0 = vertex contacts is the identity group)
+        from .ops.hanging_nodes import hn_composite_matrix
+
+        hn_bounds = []
+        hn_Q = []
+        if len(bs.hn_masks):
+            uniq, starts = np.unique(bs.hn_masks, return_index=True)
+            starts = list(starts) + [len(bs.hn_masks)]
+            for i, mv in enumerate(uniq):
+                s, e = int(starts[i]), int(starts[i + 1])
+                if mv == 0:
+                    hn_bounds.append((s, e, None))
+                else:
+                    hn_bounds.append((s, e, len(hn_Q)))
+                    hn_Q.append(
+                        np.asarray(
+                            hn_composite_matrix(int(mv), si.P, dim),
+                            dtype=mf.dtype,
+                        )
+                    )
+        self._hn_bounds = hn_bounds
+
         # geometry: per-brick scalar h factor (level-uniform cells)
         h_cell = (mf.tria.right - mf.tria.left) * (
             0.5 ** bs.brick_level.astype(np.float64)
         )  # cell size (brick cells are level-uniform)
         geo_brick = h_cell ** (dim - 2)
+
+        # static fill coverage: how many hn-cell writers cover each node of a
+        # subset brick (value-independent -> precomputed, replacing a dense
+        # one-hot matmul per vmult)
+        hn_brick = (hn_sub // C).astype(np.int64)
+        hn_slot = (hn_sub % C).astype(np.int64)
+        den = np.zeros((len(sub_ids), N3p))
+        np.add.at(den, (hn_brick[:, None], slot_idx[hn_slot]), 1.0)
+        fill_invden = np.where(den > 0, 1.0 / np.maximum(den, 1.0), 0.0)
 
         # present/validity in subset cols numbering
         present_sub = bs.present.reshape(bs.n_bricks, C)[sub_ids].reshape(-1)
@@ -932,6 +1001,10 @@ class BrickLaplaceMM:
 
         self.arrays = dict(
             A=np.asarray(A_full, dtype=mf.dtype),
+            Kb=np.asarray(Kb, dtype=mf.dtype),
+            Mb=np.asarray(Mb, dtype=mf.dtype),
+            Fxy=np.asarray(Fxy, dtype=mf.dtype),
+            Mxy=np.asarray(Mxy, dtype=mf.dtype),
             E=np.asarray(E, dtype=mf.dtype),
             Es=np.asarray(Es, dtype=mf.dtype),
             K=np.asarray(K, dtype=mf.dtype),
@@ -949,7 +1022,12 @@ class BrickLaplaceMM:
             edge_pool_id=np.asarray(bs.edge_pool_id.astype(np.int32)),
             corner_pool_id=np.asarray(bs.corner_pool_id.astype(np.int32)),
             geo_sub=np.asarray(geo_brick[sub_ids], dtype=mf.dtype),
+            geo_cell_sub=np.asarray(
+                np.repeat(geo_brick[sub_ids], C), dtype=mf.dtype
+            ),
             present_sub=np.asarray(present_sub.astype(np.float64), dtype=mf.dtype),
+            hn_Q=hn_Q,
+            fill_invden=np.asarray(fill_invden, dtype=mf.dtype),
         )
         self._np_arrays = self.arrays
         self.arrays = None  # staged lazily on first vmult
@@ -957,7 +1035,15 @@ class BrickLaplaceMM:
 
     def _stage(self):
         if self.arrays is None:
-            self.arrays = jax.tree.map(jnp.asarray, self._np_arrays)
+            staged = jax.tree.map(jnp.asarray, self._np_arrays)
+            if self.mf.dtype == np.float32:
+                # one-hot operands are exact in bf16 (each output is a pure
+                # selection; the f32 side is split by XLA at >= tf32
+                # precision) — halves their HBM traffic. Verified bit-equal
+                # to the f32 operands on TPU under tensorfloat32.
+                staged["E"] = staged["E"].astype(jnp.bfloat16)
+                staged["Es"] = staged["Es"].astype(jnp.bfloat16)
+            self.arrays = staged
         return self.arrays
 
     # ------------------------------------------------------------ conversions
@@ -1014,15 +1100,60 @@ class BrickLaplaceMM:
         parts.append(cpool[a["corner_pool_id"].reshape(-1)].reshape(nb, ncorner))
         return jnp.concatenate(parts, axis=1)
 
+    # ------------------------------------------------------- hn application
+    def _hn_apply(self, rows, a, transpose: bool):
+        """HN interpolation on mask-sorted rows [n_hn, n_loc]: one composite
+        matmul per contiguous distinct-mask range (identity ranges pass
+        through). Exact adjoint pair via Q / Q^T."""
+        parts = []
+        for s, e, qi in self._hn_bounds:
+            if qi is None:
+                parts.append(rows[s:e])
+            else:
+                Q = a["hn_Q"][qi]
+                parts.append(
+                    jnp.dot(rows[s:e], Q.T if transpose else Q,
+                            preferred_element_type=rows.dtype)
+                )
+        return jnp.concatenate(parts, axis=0)
+
+    # ------------------------------------------------------------ main path
+    def _main_apply(self, bv, a):
+        """v = bv @ A_brick^T, either via the dense assembled matrix or the
+        exact Kronecker-separable factorization (default; same operator up
+        to fp rounding, ~30x fewer FLOPs)."""
+        if self.main_path == "dense":
+            return jnp.dot(bv, a["A"].T, preferred_element_type=bv.dtype)
+        bs = self.bs
+        NB, N3, N3p = bs.NB, self.N3, self.N3p
+        nb = bv.shape[0]
+        dt = bv.dtype
+        u = bv[:, :N3]
+        if bs.dim == 3:
+            u3 = u.reshape(nb, NB, NB * NB)
+            t = jnp.dot(u3, a["Fxy"].T, preferred_element_type=dt)
+            t = jnp.einsum("wz,bzr->bwr", a["Mb"], t, preferred_element_type=dt)
+            s = jnp.einsum("wz,bzr->bwr", a["Kb"], u3, preferred_element_type=dt)
+            v = (t + jnp.dot(s, a["Mxy"].T, preferred_element_type=dt)).reshape(
+                nb, N3
+            )
+        else:
+            u2 = u.reshape(nb, NB, NB)
+            t = jnp.dot(u2, a["Kb"].T, preferred_element_type=dt)
+            t = jnp.einsum("wy,byx->bwx", a["Mb"], t, preferred_element_type=dt)
+            s = jnp.einsum("wy,byx->bwx", a["Kb"], u2, preferred_element_type=dt)
+            v = (t + jnp.dot(s, a["Mb"].T, preferred_element_type=dt)).reshape(
+                nb, N3
+            )
+        return jnp.pad(v, ((0, 0), (0, N3p - N3)))
+
     # ---------------------------------------------------------------- vmult
     def _vmult_impl(self, bv, a):
-        from .ops.hanging_nodes import apply_hanging_node_constraints
-
         bs = self.bs
         dim = bs.dim
         C = bs.B**dim
-        # 1) main path: assembled brick operator, one big MXU matmul
-        v = jnp.dot(bv, a["A"].T, preferred_element_type=bv.dtype)
+        # 1) main path: assembled brick operator (Kronecker-separable form)
+        v = self._main_apply(bv, a)
         v = v * a["geo"][:, None]
 
         # 2) corrections on the exceptional-brick subset: absent (hole) cells
@@ -1032,17 +1163,15 @@ class BrickLaplaceMM:
             u_sub = jnp.take(bv, a["sub_ids"], axis=0)
             cols_u = jnp.dot(u_sub, a["E"].T, preferred_element_type=bv.dtype)
             cols_u = cols_u.reshape(-1, a["K"].shape[0])  # [n_sub*C, n_loc]
-            geo_c = jnp.repeat(a["geo_sub"], C)[:, None]
             plain = jnp.dot(cols_u, a["K"].T, preferred_element_type=bv.dtype)
-            plain = plain * geo_c  # per-cell scale BEFORE folds (levels differ)
+            # per-cell scale BEFORE folds (levels differ)
+            plain = plain * a["geo_cell_sub"][:, None]
             final = plain
             if a["absent_sub"].shape[0]:
                 final = final.at[a["absent_sub"]].set(0.0)
             if a["hn_sub"].shape[0]:
                 own = jnp.take(final, a["hn_sub"], axis=0)
-                sub_raw = apply_hanging_node_constraints(
-                    own, a["hn_masks"], a["P"], dim, transpose=True
-                )
+                sub_raw = self._hn_apply(own, a, transpose=True)
                 final = final.at[a["hn_sub"]].set(sub_raw)
                 for lv in sorted(self._levels, reverse=True):
                     rows_all, coarse_all = [], []
@@ -1063,11 +1192,18 @@ class BrickLaplaceMM:
                            preferred_element_type=bv.dtype)
             v = v.at[a["sub_ids"]].add(dsub)
 
-        # 3) cross-brick DSS on the surface vector
+        # 3) cross-brick DSS on the surface vector. (No node_valid masking
+        #    needed before the fill: hole-node values are ~0 after the absent
+        #    correction, and the fill reads only present-cell rows.)
         surf = jnp.dot(v, a["Es"].T, preferred_element_type=bv.dtype)
         surf_new = self._dss_surface(surf, a)
-        v = v + jnp.dot(surf_new - surf, a["Es"], preferred_element_type=bv.dtype)
-        v = jnp.where(a["node_valid"], v, 0.0)
+        # hole-node masking fused here (the fill below touches only valid
+        # nodes, so no final where pass is needed)
+        v = jnp.where(
+            a["node_valid"],
+            v + jnp.dot(surf_new - surf, a["Es"], preferred_element_type=bv.dtype),
+            0.0,
+        )
 
         # 4) fill pass on the subset (restore the distributed invariant)
         if self._n_sub and a["hn_sub"].shape[0]:
@@ -1090,23 +1226,18 @@ class BrickLaplaceMM:
                 cols2 = cols2.at[jnp.concatenate(fine_all)].add(
                     jnp.concatenate(rows_all, axis=0)
                 )
-            sub2 = apply_hanging_node_constraints(
-                jnp.take(cols2, a["hn_sub"], axis=0), a["hn_masks"], a["P"], dim,
-                transpose=False,
+            sub2 = self._hn_apply(
+                jnp.take(cols2, a["hn_sub"], axis=0), a, transpose=False
             )
             # node updates from changed (constrained) cells only; every
-            # covering writer holds the same value, so divide by coverage
+            # covering writer holds the same value, so divide by the
+            # (static, precomputed) coverage count
             diff = sub2 - orig_rows
             dcols = jnp.zeros_like(cols2).at[a["hn_sub"]].set(diff)
-            ccount = jnp.zeros_like(cols2).at[a["hn_sub"]].set(jnp.ones_like(diff))
             num = jnp.dot(dcols.reshape(self._n_sub, -1), a["E"],
                           preferred_element_type=bv.dtype)
-            den = jnp.dot(ccount.reshape(self._n_sub, -1), a["E"],
-                          preferred_element_type=bv.dtype)
-            v = v.at[a["sub_ids"]].add(
-                jnp.where(den > 0, num / jnp.maximum(den, 1.0), 0.0)
-            )
-        return jnp.where(a["node_valid"], v, 0.0)
+            v = v.at[a["sub_ids"]].add(num * a["fill_invden"])
+        return v
 
     # ---------------------------------------------- vector space helpers
     def dot_mask(self):

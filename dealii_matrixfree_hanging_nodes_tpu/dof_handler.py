@@ -61,6 +61,16 @@ class DoFHandler:
         n_cells = tria.n_active_cells
         n_loc = n**dim
         lmax = int(tria.level.max())
+        # 17-bit coordinate / 19-bit marker fields per axis: coordinates need
+        # lmax+1 bits (finest-level grid has 2^lmax cells + the upper corner),
+        # markers need sz*(p+1)+ia < 2^19 with sz = 2^lmax. Enforce instead of
+        # silently overflowing into the neighboring field.
+        if lmax > 15:
+            raise ValueError(f"DoFHandler supports at most 15 levels, got {lmax}")
+        if (np.int64(1) << lmax) * (p + 1) + p >= (np.int64(1) << 19):
+            raise ValueError(
+                f"entity-marker field overflow: degree {p} at {lmax} levels"
+            )
 
         sz = (np.int64(1) << (lmax - tria.level)).astype(np.int64)  # [n_cells]
         base = tria.coord * sz[:, None]  # [n_cells, dim] lower corner @ lmax
@@ -77,7 +87,11 @@ class DoFHandler:
             interior = ~(is_lo | is_hi)
             coord_a = base_a + np.where(is_hi, sz_a, 0)
             coord_a = np.where(interior, base_a, coord_a)
-            marker_a = np.where(interior, sz_a * 8 + ia, 0)
+            # marker = sz*(p+1) + ia is collision-free across levels (ia < p+1,
+            # sz a power of two); the earlier sz*8+ia scheme aliased for
+            # degree >= 10 (e.g. sz=1,ia=9 vs sz=2,ia=1), silently merging
+            # distinct interior nodes.
+            marker_a = np.where(interior, sz_a * np.int64(p + 1) + ia, 0)
             # NOTE: scalar shift operands must be np.int64 — NumPy 2.0's
             # python-int promotion path is ~1000x slower on this host.
             key1 = (key1 << np.int64(17)) | coord_a

@@ -91,6 +91,12 @@ class Triangulation:
         """Unique int64 key for a (level, coord) cell slot."""
         # 16 bits per coordinate (max level 15 plus headroom) + level bits.
         # np.int64 scalar shifts: NumPy 2.0 python-int promotion is very slow.
+        if len(level) and int(level.max()) > 15:
+            raise ValueError(
+                f"Triangulation supports at most 15 refinement levels, got "
+                f"{int(level.max())} — key packing would overflow its 16-bit "
+                "coordinate fields"
+            )
         key = level.astype(np.int64)
         for d in range(self.dim):
             key = (key << np.int64(16)) | coord[:, d].astype(np.int64)

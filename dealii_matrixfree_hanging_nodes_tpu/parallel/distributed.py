@@ -55,6 +55,11 @@ class DistributedLaplace:
             raise ValueError(f"unknown exchange mode {exchange!r}")
         if exchange == "halo" and sm_group_size:
             raise ValueError("halo exchange and sm groups are exclusive")
+        if mf.high_order_mapping:
+            raise NotImplementedError(
+                "DistributedLaplace supports Cartesian mappings only (its "
+                "kernel scales gradients by the per-axis geo factors)"
+            )
         self.mf = mf
         self.exchange = exchange
         devices = devices if devices is not None else jax.devices()

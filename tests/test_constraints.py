@@ -110,3 +110,22 @@ def test_2d_annulus_constraints():
     u = np.polyval(coef[0], pts[:, 0]) * np.polyval(coef[1], pts[:, 1])
     v = ci.distribute(u)
     assert np.abs(v - u).max() < 1e-10 * max(1.0, np.abs(u).max())
+
+
+def test_degree10_entity_markers_unique():
+    """Regression: the old marker sz*8+ia aliased across levels for p>=10,
+    silently merging distinct nodes into one DoF. Every global DoF must have
+    a single consistent support point across all cells writing it."""
+    from dealii_matrixfree_hanging_nodes_tpu.dof_handler import DoFHandler
+
+    t = mfhn.create_quadrant(2, 2)
+    dh = DoFHandler(t, 10)
+    pts = dh.support_points()
+    nodes = dh.shape.nodes
+    h = t.cell_size()
+    lower = t.cell_lower()
+    loc = nodes[dh._lat]  # [n_loc, dim]
+    coords = lower[:, None, :] + h[:, None, None] * loc[None, :, :]
+    # every writer of a DoF must agree with the recorded support point
+    err = np.abs(pts[dh.cell_dofs.ravel()] - coords.reshape(-1, t.dim)).max()
+    assert err < 1e-12

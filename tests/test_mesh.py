@@ -62,3 +62,39 @@ def test_cells_tile_domain():
         t = mfhn.create_geometry(geo, 3, 4)
         vol = (t.cell_size() ** 3).sum()
         assert abs(vol - 8.0) < 1e-10
+
+
+def test_native_fallback_matches_numpy(monkeypatch):
+    """The NumPy fallback paths (used on compiler-less hosts) must produce the
+    same mesh and DoF numbering as the native setup core."""
+    from dealii_matrixfree_hanging_nodes_tpu import native
+    from dealii_matrixfree_hanging_nodes_tpu.dof_handler import DoFHandler
+
+    if not native.available():
+        pytest.skip("native core not built; fallback is the only path")
+
+    cases = [("quadrant", 2, 3), ("quadrant", 3, 2), ("annulus", 3, 4),
+             ("step", 2, 3)]
+    ref = {}
+    for geo, dim, r in cases:
+        t = mfhn.create_geometry(geo, dim, r)
+        dh = DoFHandler(t, 3)
+        ref[(geo, dim, r)] = (t.level.copy(), t.coord.copy(),
+                              dh.cell_dofs.copy(), dh.n_dofs)
+
+    monkeypatch.setattr(native, "balance_flags", lambda *a, **k: None)
+    monkeypatch.setattr(native, "dof_unique", lambda *a, **k: None)
+    for geo, dim, r in cases:
+        t = mfhn.create_geometry(geo, dim, r)
+        dh = DoFHandler(t, 3)
+        lv, co, cd, nd = ref[(geo, dim, r)]
+        np.testing.assert_array_equal(t.level, lv)
+        np.testing.assert_array_equal(t.coord, co)
+        np.testing.assert_array_equal(dh.cell_dofs, cd)
+        assert dh.n_dofs == nd
+
+
+def test_level_cap_enforced():
+    t = mfhn.create_uniform(2, 1)
+    with pytest.raises(ValueError, match="15"):
+        t.pack(np.array([16]), np.array([[0, 0]]))
