@@ -841,7 +841,10 @@ class BrickLaplaceMM:
         else:
             A_full = np.zeros((0, 0))
 
-        # one-hot patch matrix E [C*n_loc, N3p]: cols <-> brick nodes
+        # one-hot patch matrix E [C*n_loc, N3p] (cols -> brick nodes):
+        # used only for the overlap-add scatter direction — the transposed
+        # stride-p conv lowers to a slow input-dilated conv on TPU, while
+        # the forward patch extraction beats the E matmul (measured A/B).
         E = np.zeros((C * n_loc, N3p), dtype=np.float64)
         E[np.arange(C * n_loc), slot_idx.reshape(-1)] = 1.0
 
@@ -1001,11 +1004,11 @@ class BrickLaplaceMM:
 
         self.arrays = dict(
             A=np.asarray(A_full, dtype=mf.dtype),
+            E=np.asarray(E, dtype=mf.dtype),
             Kb=np.asarray(Kb, dtype=mf.dtype),
             Mb=np.asarray(Mb, dtype=mf.dtype),
             Fxy=np.asarray(Fxy, dtype=mf.dtype),
             Mxy=np.asarray(Mxy, dtype=mf.dtype),
-            E=np.asarray(E, dtype=mf.dtype),
             Es=np.asarray(Es, dtype=mf.dtype),
             K=np.asarray(K, dtype=mf.dtype),
             geo=np.asarray(geo_brick, dtype=mf.dtype),
@@ -1100,6 +1103,33 @@ class BrickLaplaceMM:
         parts.append(cpool[a["corner_pool_id"].reshape(-1)].reshape(nb, ncorner))
         return jnp.concatenate(parts, axis=1)
 
+    # ------------------------------------------------- cols <-> brick domain
+    def _extract_cols(self, u_sub, a):
+        """[n_rows, N3p] brick vectors -> [n_rows*C, n_loc] cell-local cols.
+
+        Expressed as stride-p patch extraction (XLA conv machinery) — exact
+        and measurably faster than the one-hot E matmul; the patch feature
+        order matches the E layout (x fastest) bit-for-bit."""
+        bs = self.bs
+        NB, p, dim = bs.NB, bs.p, bs.dim
+        n = p + 1
+        m = u_sub.shape[0]
+        u4 = u_sub[:, : self.N3].reshape((m, 1) + (NB,) * dim)
+        pat = jax.lax.conv_general_dilated_patches(
+            u4, filter_shape=(n,) * dim, window_strides=(p,) * dim,
+            padding="VALID",
+        )  # [m, n_loc, B..B]
+        C = bs.B**dim
+        return jnp.moveaxis(pat.reshape(m, n**dim, C), 1, 2).reshape(-1, n**dim)
+
+    def _scatter_cols(self, cols, a):
+        """Adjoint of _extract_cols: [n_rows*C, n_loc] -> [n_rows, N3p]
+        overlap-add, as one one-hot E matmul (faster than the transposed
+        conv, which lowers to an input-dilated conv on TPU)."""
+        m = cols.shape[0] // (self.bs.B ** self.bs.dim)
+        return jnp.dot(cols.reshape(m, -1), a["E"],
+                       preferred_element_type=cols.dtype)
+
     # ------------------------------------------------------- hn application
     def _hn_apply(self, rows, a, transpose: bool):
         """HN interpolation on mask-sorted rows [n_hn, n_loc]: one composite
@@ -1161,8 +1191,7 @@ class BrickLaplaceMM:
         #    their closure slots folded (chained) into coarse neighbors.
         if self._n_sub:
             u_sub = jnp.take(bv, a["sub_ids"], axis=0)
-            cols_u = jnp.dot(u_sub, a["E"].T, preferred_element_type=bv.dtype)
-            cols_u = cols_u.reshape(-1, a["K"].shape[0])  # [n_sub*C, n_loc]
+            cols_u = self._extract_cols(u_sub, a)  # [n_sub*C, n_loc]
             plain = jnp.dot(cols_u, a["K"].T, preferred_element_type=bv.dtype)
             # per-cell scale BEFORE folds (levels differ)
             plain = plain * a["geo_cell_sub"][:, None]
@@ -1188,9 +1217,7 @@ class BrickLaplaceMM:
                     )
                     final = final.at[lz["lin"]].set(zeroed)
             delta = final - plain
-            dsub = jnp.dot(delta.reshape(self._n_sub, -1), a["E"],
-                           preferred_element_type=bv.dtype)
-            v = v.at[a["sub_ids"]].add(dsub)
+            v = v.at[a["sub_ids"]].add(self._scatter_cols(delta, a))
 
         # 3) cross-brick DSS on the surface vector. (No node_valid masking
         #    needed before the fill: hole-node values are ~0 after the absent
@@ -1208,8 +1235,7 @@ class BrickLaplaceMM:
         # 4) fill pass on the subset (restore the distributed invariant)
         if self._n_sub and a["hn_sub"].shape[0]:
             v_sub = jnp.take(v, a["sub_ids"], axis=0)
-            cols2 = jnp.dot(v_sub, a["E"].T, preferred_element_type=bv.dtype)
-            cols2 = cols2.reshape(-1, a["K"].shape[0])
+            cols2 = self._extract_cols(v_sub, a)
             orig_rows = jnp.take(cols2, a["hn_sub"], axis=0)
             for lv in sorted(self._levels):
                 lz = a["level_zero"][lv]
@@ -1234,8 +1260,7 @@ class BrickLaplaceMM:
             # (static, precomputed) coverage count
             diff = sub2 - orig_rows
             dcols = jnp.zeros_like(cols2).at[a["hn_sub"]].set(diff)
-            num = jnp.dot(dcols.reshape(self._n_sub, -1), a["E"],
-                          preferred_element_type=bv.dtype)
+            num = self._scatter_cols(dcols, a)
             v = v.at[a["sub_ids"]].add(num * a["fill_invden"])
         return v
 
