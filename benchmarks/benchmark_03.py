@@ -46,10 +46,18 @@ def run(
     for n_ref in range(min_ref, max_ref + 1):
         tria = mfhn.create_geometry(geometry, dim, n_ref)
         mf = MatrixFree(tria, degree, dtype=dtype)
+        # two-oracle redundancy: the pure-topology Helper census must agree
+        # with the compressed-mask census (benchmark_03.h:412-432)
+        from dealii_matrixfree_hanging_nodes_tpu.constraint_helper import Helper
+
+        n_hn_topo, _ = Helper(tria).census()
+        assert n_hn_topo == mf.constraints.n_constrained_cells, (
+            n_hn_topo, mf.constraints.n_constrained_cells,
+        )
         src = jnp.asarray(interpolate(mf.dof_handler), dtype=mf.dtype)
         scale = jnp.asarray(1e-3, mf.dtype)
         brick_op = None
-        if engine == "bricks" and dim == 3:
+        if engine == "bricks":
             from dealii_matrixfree_hanging_nodes_tpu.bricks import BrickLaplaceMM
 
             brick_op = BrickLaplaceMM(mf)
@@ -62,17 +70,21 @@ def run(
         table.add_value("n_cells_hn", mf.constraints.n_constrained_cells)
         table.add_value("n_dofs", mf.n_dofs)
 
+        t_pair = {}
         for constraints, tag in ((True, ""), (False, "_plain")):
-            if brick_op is not None and constraints:
+            if brick_op is not None:
+                # apples-to-apples +/- constraints pair on the brick engine
+                # (reference pair: benchmark_03.h:510-532)
+                fn = brick_op.vmult if constraints else brick_op.vmult_plain
                 res = repeat_timed(
-                    lambda x: brick_op.vmult(x * scale), src_b,
-                    n_reps=n_reps, n_trials=3,
+                    lambda x: fn(x * scale), src_b, n_reps=n_reps, n_trials=3
                 )
             else:
                 op = LaplaceOperator(mf, constraints=constraints)
                 res = repeat_timed(
                     lambda x: op.vmult(x * scale), src, n_reps=n_reps, n_trials=3
                 )
+            t_pair[constraints] = res.min
             table.add_value("time_min" + tag, res.min)
             table.set_scientific("time_min" + tag, True)
             table.add_value("time_avg" + tag, res.avg)
@@ -81,6 +93,18 @@ def run(
             table.set_scientific("time_max" + tag, True)
             if constraints:
                 table.add_value("GDoFs_per_s", mf.n_dofs / res.min / 1e9)
+        # per-HN-cell overhead model (benchmark_01.cc:179-187) and the plain
+        # whole-operator overhead ratio used by the <15% BASELINE target
+        n_hn = mf.constraints.n_constrained_cells
+        n_n = mf.n_cells - n_hn
+        if n_hn:
+            eta = max(
+                (t_pair[True] / (t_pair[False] / mf.n_cells) - n_n) / n_hn, 1.0
+            )
+            table.add_value("eta", round(eta, 3))
+        table.add_value(
+            "overhead_pct", round(100 * (t_pair[True] / t_pair[False] - 1), 2)
+        )
         print(table.write_text())
     return table
 

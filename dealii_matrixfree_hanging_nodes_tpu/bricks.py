@@ -1277,6 +1277,39 @@ class BrickLaplaceMM:
                             preferred_element_type=bv.dtype)
         return v
 
+    def _vmult_plain_impl(self, bv, a):
+        """Constraints-off vmult: main operator + hole (absent-cell)
+        correction + cross-brick DSS, but no HN interpolation, folds, or fill
+        — the brick analog of the reference's unconstrained read/write
+        variant (benchmark_03.h:510-532), used for the eta overhead pair."""
+        v = self._main_apply(bv, a)
+        v = v * a["geo"][:, None]
+        if self._n_sub and a["absent_sub"].shape[0]:
+            u_sub = jnp.take(bv, a["sub_ids"], axis=0)
+            cols_u = self._extract_cols(u_sub, a)
+            plain = jnp.dot(cols_u, a["K"].T, preferred_element_type=bv.dtype)
+            plain = plain * a["geo_cell_sub"][:, None]
+            dcols = jnp.zeros_like(plain).at[a["absent_sub"]].set(
+                -jnp.take(plain, a["absent_sub"], axis=0)
+            )
+            v = v + jnp.dot(a["Ssub"], self._scatter_cols(dcols, a),
+                            preferred_element_type=bv.dtype)
+        surf = jnp.dot(v, a["Es"].T, preferred_element_type=bv.dtype)
+        surf_new = self._dss_surface(surf, a)
+        return jnp.where(
+            a["node_valid"],
+            v + jnp.dot(surf_new - surf, a["Es"], preferred_element_type=bv.dtype),
+            0.0,
+        )
+
+    def vmult_plain(self, bv):
+        prec = {"default": "default", "high": "tensorfloat32",
+                "highest": "highest"}.get(self._precision, self._precision)
+        if not hasattr(self, "_jit_vmult_plain"):
+            self._jit_vmult_plain = jax.jit(self._vmult_plain_impl)
+        with jax.default_matmul_precision(prec):
+            return self._jit_vmult_plain(bv, self._stage())
+
     # ---------------------------------------------- vector space helpers
     def dot_mask(self):
         """[nb, N3p] weights: 1 at the owner copy of each non-hanging dof —

@@ -15,6 +15,8 @@ CASES = [
     ("step", 3, 2),
     ("annulus", 5, 2),
     ("uniform", 2, 2),
+    ("quadrant", 2, 5),  # p=5,6: B=2 bricks
+    ("quadrant", 2, 6),
 ]
 
 
@@ -80,7 +82,8 @@ def test_vmult_multi_matches_single():
 
 
 @pytest.mark.parametrize("geo,nref,p", [("quadrant", 3, 2), ("step", 3, 1),
-                                        ("uniform", 2, 2)])
+                                        ("uniform", 2, 2), ("quadrant", 3, 5),
+                                        ("quadrant", 2, 6)])
 def test_brick_mm_2d(geo, nref, p):
     t = mfhn.create_geometry(geo, 2, nref)
     mf = MatrixFree(t, p, dtype=np.float64)
@@ -94,3 +97,30 @@ def test_brick_mm_2d(geo, nref, p):
     assert float(jnp.abs(out - out2).max()) < 1e-12 * max(
         1.0, float(jnp.abs(out).max())
     )
+
+
+def test_vmult_plain_equals_vmult_on_uniform():
+    """On a mesh with no hanging nodes the constraints-off brick variant is
+    the same operator (hole corrections and DSS still apply)."""
+    from dealii_matrixfree_hanging_nodes_tpu.bricks import BrickLaplaceMM
+
+    for dim, r, p in ((3, 2, 3), (2, 3, 4)):
+        t = mfhn.create_uniform(dim, r)
+        mf = MatrixFree(t, p, dtype=np.float64)
+        op = BrickLaplaceMM(mf)
+        u = np.random.default_rng(3).standard_normal(mf.n_dofs)
+        bv = op.from_dof_vector(u)
+        a = np.asarray(op.vmult(bv))
+        b = np.asarray(op.vmult_plain(bv))
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-12 * np.abs(a).max())
+
+
+def test_vmult_plain_smoke_constrained():
+    from dealii_matrixfree_hanging_nodes_tpu.bricks import BrickLaplaceMM
+
+    t = mfhn.create_quadrant(3, 3)
+    mf = MatrixFree(t, 2, dtype=np.float64)
+    op = BrickLaplaceMM(mf)
+    u = np.random.default_rng(4).standard_normal(mf.n_dofs)
+    out = np.asarray(op.vmult_plain(op.from_dof_vector(u)))
+    assert np.isfinite(out).all()

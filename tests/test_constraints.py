@@ -19,7 +19,7 @@ CASES = [
 
 
 @pytest.mark.parametrize("dim,geo,nref", CASES)
-@pytest.mark.parametrize("p", [1, 2, 4])
+@pytest.mark.parametrize("p", [1, 2, 4, 6])
 def test_polynomial_reproduction(dim, geo, nref, p):
     """Hanging-node rows must be exact for any tensor polynomial of degree p
     (FE space continuity) — oracle for both weights and detection."""
@@ -129,3 +129,20 @@ def test_degree10_entity_markers_unique():
     # every writer of a DoF must agree with the recorded support point
     err = np.abs(pts[dh.cell_dofs.ravel()] - coords.reshape(-1, t.dim)).max()
     assert err < 1e-12
+
+
+@pytest.mark.parametrize("dim,geo,nref", CASES)
+def test_helper_census_matches_masks(dim, geo, nref):
+    """Two-oracle redundancy (benchmark_03.h:412-432): the pure-topology
+    Helper detector and the compressed-mask builder must agree cell by cell
+    on which cells are hanging-node constrained."""
+    from dealii_matrixfree_hanging_nodes_tpu.constraint_helper import Helper
+
+    t = mfhn.create_geometry(geo, dim, nref)
+    dh = DoFHandler(t, 2)
+    ci = build_constraints(dh)
+    h = Helper(t)
+    np.testing.assert_array_equal(h.is_constrained(), ci.masks != 0)
+    n_hn, n_n = h.census()
+    assert n_hn + n_n == t.n_active_cells
+    assert n_hn == ci.n_constrained_cells

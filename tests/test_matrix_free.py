@@ -13,6 +13,13 @@ CASES = [
     (3, "quadrant", 3, 1),
     (3, "quadrant", 3, 2),
     (3, "annulus", 5, 2),
+    # degrees 5-6 to 1e-12, 2D+3D (BASELINE row 3; reference dispatches
+    # degrees 1..6, benchmark_01.cc:34-116)
+    (2, "quadrant", 3, 5),
+    (2, "quadrant", 3, 6),
+    (3, "quadrant", 2, 4),
+    (3, "quadrant", 2, 5),
+    (3, "quadrant", 2, 6),
 ]
 
 
