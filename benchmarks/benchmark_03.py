@@ -70,29 +70,37 @@ def run(
         table.add_value("n_cells_hn", mf.constraints.n_constrained_cells)
         table.add_value("n_dofs", mf.n_dofs)
 
-        t_pair = {}
-        for constraints, tag in ((True, ""), (False, "_plain")):
-            if brick_op is not None:
-                # apples-to-apples +/- constraints pair on the brick engine
-                # (reference pair: benchmark_03.h:510-532)
-                fn = brick_op.vmult if constraints else brick_op.vmult_plain
-                res = repeat_timed(
-                    lambda x: fn(x * scale), src_b, n_reps=n_reps, n_trials=3
-                )
-            else:
-                op = LaplaceOperator(mf, constraints=constraints)
-                res = repeat_timed(
-                    lambda x: op.vmult(x * scale), src, n_reps=n_reps, n_trials=3
-                )
-            t_pair[constraints] = res.min
+        # apples-to-apples ±constraints pair (reference: benchmark_03.h:
+        # 510-532), INTERLEAVED trials so the tunnel's minute-scale
+        # throughput drift cancels out of the overhead ratio
+        if brick_op is not None:
+            steps = [
+                lambda x: brick_op.vmult(x * scale),
+                lambda x: brick_op.vmult_plain(x * scale),
+            ]
+            x0s = [src_b, src_b]
+        else:
+            op_c = LaplaceOperator(mf, constraints=True)
+            op_p = LaplaceOperator(mf, constraints=False)
+            steps = [
+                lambda x: op_c.vmult(x * scale),
+                lambda x: op_p.vmult(x * scale),
+            ]
+            x0s = [src, src]
+        from dealii_matrixfree_hanging_nodes_tpu.utils.timing import (
+            repeat_timed_paired,
+        )
+
+        res_c, res_p = repeat_timed_paired(steps, x0s, n_reps=n_reps, n_trials=3)
+        t_pair = {True: res_c.min, False: res_p.min}
+        for res, tag in ((res_c, ""), (res_p, "_plain")):
             table.add_value("time_min" + tag, res.min)
             table.set_scientific("time_min" + tag, True)
             table.add_value("time_avg" + tag, res.avg)
             table.set_scientific("time_avg" + tag, True)
             table.add_value("time_max" + tag, res.max)
             table.set_scientific("time_max" + tag, True)
-            if constraints:
-                table.add_value("GDoFs_per_s", mf.n_dofs / res.min / 1e9)
+        table.add_value("GDoFs_per_s", mf.n_dofs / res_c.min / 1e9)
         # per-HN-cell overhead model (benchmark_01.cc:179-187) and the plain
         # whole-operator overhead ratio used by the <15% BASELINE target
         n_hn = mf.constraints.n_constrained_cells

@@ -121,11 +121,6 @@ class BrickStructure:
             raise NotImplementedError("brick engine supports dim=2,3")
         if mf.categorize:
             raise ValueError("brick engine requires original cell order")
-        if mf.high_order_mapping:
-            raise NotImplementedError(
-                "brick engine supports Cartesian mappings only (deformed "
-                "MappingQCache runs on the index engine, mapping.py)"
-            )
         self.mf = mf
         self.B = B = brick_size
         self.p = p = mf.degree
@@ -166,10 +161,14 @@ class BrickStructure:
         self.cell_at = np.full(ncb, -1, dtype=np.int64)
         self.cell_at[self.cell_lin] = np.arange(tria.n_active_cells)
 
-        # geometry factor per brick cell (Cartesian: h^(dim-2), equal axes)
-        geo = mf._np["geo"][:, 0]  # [n_cells]
-        self.geo_b = np.zeros(ncb)
-        self.geo_b[self.cell_lin] = geo
+        # geometry factor per brick cell (Cartesian: h^(dim-2), equal axes);
+        # deformed mappings carry per-quad-point metrics in the engines
+        if mf.high_order_mapping:
+            self.geo_b = None
+        else:
+            geo = mf._np["geo"][:, 0]  # [n_cells]
+            self.geo_b = np.zeros(ncb)
+            self.geo_b[self.cell_lin] = geo
 
         # masks / hn subset in brick-cell numbering
         masks = mf._np["masks"]
@@ -416,6 +415,10 @@ class BrickLaplace:
     def __init__(self, mf: MatrixFree, brick_size: int | None = None):
         if mf.dim != 3:
             raise NotImplementedError("use BrickLaplaceMM for dim=2")
+        if mf.high_order_mapping:
+            raise NotImplementedError(
+                "use BrickLaplaceMM for deformed mappings"
+            )
         self.mf = mf
         self.bs = bs = BrickStructure(mf, brick_size)
         p, B, NB, dim = bs.p, bs.B, bs.NB, bs.dim
@@ -1042,9 +1045,51 @@ class BrickLaplaceMM:
             hn_Q=hn_Q,
             fill_invden=np.asarray(fill_invden, dtype=mf.dtype),
         )
+
+        # deformed (MappingQCache analog) main path: per-quad-point packed
+        # metric applied in the cols domain with sum-factorized sweeps — the
+        # shared-A Kronecker trick needs equal Cartesian cells, so the
+        # deformed operator streams G_q per cell instead
+        # (benchmark_01.h:227-242 parity on the brick engine).
+        self._deformed = bool(mf.high_order_mapping)
+        if self._deformed:
+            geo_full = mf._np["geo"]  # [n_cells, n_q, packed]
+            Gq = np.zeros((bs.n_bricks * C,) + geo_full.shape[1:])
+            Gq[bs.cell_lin] = geo_full  # absent slots keep 0 => no output
+            groups_f = {lv: [] for lv in levels}
+            for g2 in bs.transfer_groups:
+                T = np.zeros((n_loc, n_loc))
+                T[g2.src_slots, g2.dst_slots] = 1.0
+                groups_f[g2.level].append(
+                    dict(
+                        fine=g2.fine_cells.astype(np.int32),
+                        coarse=g2.coarse_cells.astype(np.int32),
+                        T=np.asarray(T, dtype=mf.dtype),
+                    )
+                )
+            level_zero_f = {}
+            for lv in levels:
+                sel = xfer_levels == lv
+                level_zero_f[lv] = dict(
+                    lin=bs.hn_lin[sel].astype(np.int32),
+                    keep=np.asarray(
+                        1.0 - bs.hn_closure[sel].astype(np.float64),
+                        dtype=mf.dtype,
+                    ),
+                )
+            self.arrays.update(
+                Gq=np.asarray(Gq, dtype=mf.dtype),
+                S=mf._np["S"].astype(mf.dtype),
+                Dc=mf._np["Dc"].astype(mf.dtype),
+                hn_lin_f=bs.hn_lin.astype(np.int32),
+                transfers_f=groups_f,
+                level_zero_f=level_zero_f,
+            )
         self._np_arrays = self.arrays
         self.arrays = None  # staged lazily on first vmult
-        self._jit_vmult = jax.jit(self._vmult_impl)
+        self._jit_vmult = jax.jit(
+            self._vmult_deformed_impl if self._deformed else self._vmult_impl
+        )
 
     def _stage(self):
         if self.arrays is None:
@@ -1231,16 +1276,21 @@ class BrickLaplaceMM:
             v = v + jnp.dot(a["Ssub"], self._scatter_cols(delta, a),
                             preferred_element_type=bv.dtype)
 
+        return self._dss_fill(v, a)
+
+    def _dss_fill(self, v, a):
+        """Steps 3-4, shared by the Cartesian and deformed paths:
+        cross-brick DSS on the surface vector, then the fill pass."""
         # 3) cross-brick DSS on the surface vector. (No node_valid masking
         #    needed before the fill: hole-node values are ~0 after the absent
         #    correction, and the fill reads only present-cell rows.)
-        surf = jnp.dot(v, a["Es"].T, preferred_element_type=bv.dtype)
+        surf = jnp.dot(v, a["Es"].T, preferred_element_type=v.dtype)
         surf_new = self._dss_surface(surf, a)
         # hole-node masking fused here (the fill below touches only valid
         # nodes, so no final where pass is needed)
         v = jnp.where(
             a["node_valid"],
-            v + jnp.dot(surf_new - surf, a["Es"], preferred_element_type=bv.dtype),
+            v + jnp.dot(surf_new - surf, a["Es"], preferred_element_type=v.dtype),
             0.0,
         )
 
@@ -1258,7 +1308,7 @@ class BrickLaplaceMM:
                 for g in a["transfers"][lv]:
                     rows_all.append(
                         jnp.dot(jnp.take(cols2, g["coarse"], axis=0), g["T"].T,
-                                preferred_element_type=bv.dtype)
+                                preferred_element_type=v.dtype)
                     )
                     fine_all.append(g["fine"])
                 cols2 = cols2.at[jnp.concatenate(fine_all)].add(
@@ -1274,7 +1324,7 @@ class BrickLaplaceMM:
             dcols = jnp.zeros_like(cols2).at[a["hn_sub"]].set(diff)
             num = self._scatter_cols(dcols, a)
             v = v + jnp.dot(a["Ssub"], num * a["fill_invden"],
-                            preferred_element_type=bv.dtype)
+                            preferred_element_type=v.dtype)
         return v
 
     def _vmult_plain_impl(self, bv, a):
@@ -1302,11 +1352,70 @@ class BrickLaplaceMM:
             0.0,
         )
 
+    # ----------------------------------------------- deformed-mapping path
+    def _deformed_cell_apply(self, cols_u, a):
+        """Per-cell deformed Laplace kernel in the cols domain: sum-factorized
+        gradients at quadrature points, packed-metric contraction, adjoint
+        integration (the MappingQCache analog, benchmark_01.h:227-242).
+        Absent slots carry G_q = 0 and so output zero rows."""
+        from .ops.sum_factorization import evaluate_gradients, integrate_gradients
+
+        dim = self.bs.dim
+        g = evaluate_gradients(cols_u, a["S"], a["Dc"], dim)  # [m, dim, n_q]
+        pairs = [(x, y) for x in range(dim) for y in range(x, dim)]
+        out = [jnp.zeros_like(g[:, 0]) for _ in range(dim)]
+        for k, (x, y) in enumerate(pairs):
+            out[x] = out[x] + a["Gq"][:, :, k] * g[:, y]
+            if x != y:
+                out[y] = out[y] + a["Gq"][:, :, k] * g[:, x]
+        return integrate_gradients(jnp.stack(out, axis=1), a["S"], a["Dc"], dim)
+
+    def _vmult_deformed_impl(self, bv, a):
+        # per-cell metric kernel over ALL brick cells (no shared-A main path)
+        vals = self._deformed_cell_apply(self._extract_cols(bv, a), a)
+        if a["hn_lin_f"].shape[0]:
+            own = jnp.take(vals, a["hn_lin_f"], axis=0)
+            vals = vals.at[a["hn_lin_f"]].set(
+                self._hn_apply(own, a, transpose=True)
+            )
+            for lv in sorted(self._levels, reverse=True):
+                rows_all, coarse_all = [], []
+                for g in a["transfers_f"][lv]:
+                    rows_all.append(
+                        jnp.dot(jnp.take(vals, g["fine"], axis=0), g["T"],
+                                preferred_element_type=bv.dtype)
+                    )
+                    coarse_all.append(g["coarse"])
+                lz = a["level_zero_f"][lv]
+                zeroed = jnp.take(vals, lz["lin"], axis=0) * lz["keep"]
+                vals = vals.at[jnp.concatenate(coarse_all)].add(
+                    jnp.concatenate(rows_all, axis=0)
+                )
+                vals = vals.at[lz["lin"]].set(zeroed)
+        v = self._scatter_cols(vals, a)
+        return self._dss_fill(v, a)
+
+    def _vmult_plain_deformed_impl(self, bv, a):
+        v = self._scatter_cols(
+            self._deformed_cell_apply(self._extract_cols(bv, a), a), a
+        )
+        surf = jnp.dot(v, a["Es"].T, preferred_element_type=bv.dtype)
+        surf_new = self._dss_surface(surf, a)
+        return jnp.where(
+            a["node_valid"],
+            v + jnp.dot(surf_new - surf, a["Es"], preferred_element_type=bv.dtype),
+            0.0,
+        )
+
     def vmult_plain(self, bv):
         prec = {"default": "default", "high": "tensorfloat32",
                 "highest": "highest"}.get(self._precision, self._precision)
         if not hasattr(self, "_jit_vmult_plain"):
-            self._jit_vmult_plain = jax.jit(self._vmult_plain_impl)
+            self._jit_vmult_plain = jax.jit(
+                self._vmult_plain_deformed_impl
+                if self._deformed
+                else self._vmult_plain_impl
+            )
         with jax.default_matmul_precision(prec):
             return self._jit_vmult_plain(bv, self._stage())
 

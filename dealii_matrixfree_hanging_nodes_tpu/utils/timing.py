@@ -19,7 +19,7 @@ import time
 
 import numpy as np
 
-__all__ = ["repeat_timed", "trace", "TimingResult"]
+__all__ = ["repeat_timed", "repeat_timed_paired", "trace", "TimingResult"]
 
 
 class TimingResult:
@@ -59,6 +59,30 @@ def repeat_timed(step, x0, n_reps: int = 100, n_trials: int = 3) -> TimingResult
         _ = np.asarray(x).ravel()[:1]
         times.append((time.perf_counter() - t0) / n_reps)
     return TimingResult(times)
+
+
+def repeat_timed_paired(steps, x0s, n_reps: int = 100, n_trials: int = 3):
+    """Time several step functions with INTERLEAVED trials.
+
+    On tunneled/remote backends throughput drifts several-fold between
+    minutes, so timing config A's trials minutes before config B's corrupts
+    A/B ratios (e.g. the ±constraints overhead pair, benchmark_03.h:510-532).
+    Interleaving — trial t runs every config back to back — puts each pair of
+    measurements in the same weather window; the per-config min then gives a
+    drift-resistant ratio. Returns a list of TimingResult, one per step.
+    """
+    for step, x0 in zip(steps, x0s):
+        _ = np.asarray(step(x0)).ravel()[:1]  # compile + hard sync
+    times = [[] for _ in steps]
+    for _trial in range(n_trials):
+        for i, (step, x0) in enumerate(zip(steps, x0s)):
+            x = x0
+            t0 = time.perf_counter()
+            for _ in range(n_reps):
+                x = step(x)
+            _ = np.asarray(x).ravel()[:1]
+            times[i].append((time.perf_counter() - t0) / n_reps)
+    return [TimingResult(t) for t in times]
 
 
 @contextlib.contextmanager

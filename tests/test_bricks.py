@@ -124,3 +124,26 @@ def test_vmult_plain_smoke_constrained():
     u = np.random.default_rng(4).standard_normal(mf.n_dofs)
     out = np.asarray(op.vmult_plain(op.from_dof_vector(u)))
     assert np.isfinite(out).all()
+
+
+@pytest.mark.parametrize(
+    "dim,geometry,nref,degree",
+    [(3, "quadrant", 3, 2), (2, "quadrant", 4, 3), (3, "annulus", 4, 2)],
+)
+def test_bricks_deformed_mapping(dim, geometry, nref, degree):
+    """Deformed (MappingQCache analog) mapping on the brick engine matches
+    the index engine to machine precision (TestHighOrderMapping parity,
+    benchmark_01.h:227-242)."""
+    tria = mfhn.create_geometry(geometry, dim, nref)
+    mf = MatrixFree(tria, degree=degree, dtype=np.float64, high_order_mapping=True)
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal(mf.n_dofs)
+    ref = np.asarray(LaplaceOperator(mf).vmult(u)).copy()
+    ref[mf.constraints.constrained_dof_marker()] = 0.0
+    mm = BrickLaplaceMM(mf)
+    out = mm.to_dof_vector(mm.vmult(mm.from_dof_vector(u)), zero_hanging=True)
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-12
+    # plain (constraints-off) variant runs and differs only at HN couplings
+    outp = mm.to_dof_vector(mm.vmult_plain(mm.from_dof_vector(u)),
+                            zero_hanging=True)
+    assert np.isfinite(outp).all()
