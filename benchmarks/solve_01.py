@@ -80,6 +80,23 @@ def run(nref: int = 3, degree: int = 2, dtype=np.float64):
     table.add_value("dist_iters", it_d)
     table.add_value("dist_res", float(np.linalg.norm(rb)))
     table.set_scientific("dist_res", True)
+
+    # ---- multi-chip Chebyshev-GMG-CG (BASELINE row 4): all levels,
+    # smoothers, transfers, and the coarse solve run on sharded vectors
+    from dealii_matrixfree_hanging_nodes_tpu.parallel.multigrid_distributed import (
+        DistributedGMGPreconditioner,
+    )
+
+    dgmg = DistributedGMGPreconditioner("quadrant", 3, nref, degree, dtype=dtype)
+    dfine = dgmg.fine_op
+    bgd = dfine.scatter_vector(np.asarray(b))
+    xgd, it_dgmg, _ = solve_cg(dfine, bgd, M=dgmg, tol=tol_gmg, max_iter=100)
+    err_d = float(
+        np.abs(dfine.gather_vector(xgd)[free] - xstar[free]).max()
+    )
+    table.add_value("dist_gmg_iters", it_dgmg)
+    table.add_value("dist_gmg_err", err_d)
+    table.set_scientific("dist_gmg_err", True)
     print(table.write_text())
     return table
 

@@ -69,16 +69,19 @@ class ChebyshevSmoother:
         self.degree = degree
         safe = jnp.where(diag > 0, diag, 1.0)
         self.inv_diag = jnp.where(diag > 0, 1.0 / safe, 0.0)
-        # power iteration for lambda_max of D^{-1} A
+        # power iteration for lambda_max of D^{-1} A; works on any vector
+        # layout (1D global or sharded padded [R, n_own_max]); device scalars
+        # throughout — one host sync at the end
         x = jnp.asarray(
-            np.random.default_rng(7).standard_normal(diag.shape[0]), diag.dtype
+            np.random.default_rng(7).standard_normal(diag.shape), diag.dtype
         )
-        lam = 1.0
+        lam = jnp.asarray(1.0, diag.dtype)
         for _ in range(n_power_iters):
             y = self.inv_diag * self.op.vmult(x)
-            lam = float(jnp.linalg.norm(y) / jnp.linalg.norm(x))
-            x = y / jnp.linalg.norm(y)
-        self.lmax = lam * 1.1
+            ny = jnp.linalg.norm(y.reshape(-1))
+            lam = ny / jnp.linalg.norm(x.reshape(-1))
+            x = y / ny
+        self.lmax = float(lam) * 1.1
         self.lmin = self.lmax / (eig_ratio * 10.0)
 
     def apply(self, b: jnp.ndarray, x0=None) -> jnp.ndarray:

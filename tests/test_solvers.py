@@ -120,3 +120,32 @@ def test_gmg_preconditioned_cg_converges_fast():
     err = np.abs(np.asarray(x)[free] - xstar[free]).max()
     assert err < 1e-6
     assert iters < 30, iters  # GMG should converge in O(10) iterations
+
+
+def test_distributed_gmg_cg_matches_single_chip():
+    """Multi-chip Chebyshev-GMG-CG (BASELINE row 4): same iteration count and
+    solution as the single-chip preconditioner on an 8-device mesh."""
+    import jax
+    from dealii_matrixfree_hanging_nodes_tpu.parallel.multigrid_distributed import (
+        DistributedGMGPreconditioner,
+    )
+
+    nref, p = 3, 2
+    gmg = GMGPreconditioner("quadrant", 3, nref, p)
+    op, mf = gmg.fine_op, gmg.fine_mf
+    rng = np.random.default_rng(0)
+    xstar = mf.constraints.distribute(rng.standard_normal(mf.n_dofs))
+    xstar = np.asarray(jnp.asarray(xstar).at[op.bdofs].set(0.0))
+    b = op.vmult(jnp.asarray(xstar))
+    x, it1, _ = solve_cg(op, b, M=gmg, tol=1e-10, max_iter=100)
+
+    dgmg = DistributedGMGPreconditioner(
+        "quadrant", 3, nref, p, devices=jax.devices()[:8]
+    )
+    dop = dgmg.fine_op
+    xd, it2, _ = solve_cg(dop, dop.scatter_vector(np.asarray(b)), M=dgmg,
+                          tol=1e-10, max_iter=100)
+    assert it2 == it1
+    free = ~mf.constraints.constrained_dof_marker()
+    err = np.abs(dop.gather_vector(xd)[free] - np.asarray(x)[free]).max()
+    assert err < 1e-8
