@@ -11,6 +11,11 @@ the collectives (benchmark_02.cc:204-209), --slow uses the legacy constraint
 algorithm path.
 
   python benchmarks/benchmark_02.py [geometry] [n_ref] [degree] [csv_prefix]
+        [--bricks] [--no-comm] [--coarse] [--halo] [--slow-ok]
+
+--bricks runs the sweep on the distributed BRICK engine (the flagship path):
+bricks repartition along the weighted Morton curve, the DSS boundary pools
+and the constraint-chain all_gather are the measured exchanges.
 """
 
 from __future__ import annotations
@@ -43,6 +48,7 @@ def run(
     dim: int = 3,
     dtype=np.float32,
     exchange: str = "allgather",
+    engine: str = "index",
 ):
     weights = weights if weights is not None else np.arange(1.0, 10.05, 0.1)
     tria = mfhn.create_geometry(geometry, dim, n_refinements)
@@ -58,11 +64,24 @@ def run(
 
     for w in weights:
         cw = hanging_nodes_weighting(constrained, float(w))
-        dop = DistributedLaplace(
-            mf, weights=cw, perform_communication=perform_communication,
-            exchange=exchange,
-        )
-        x0 = dop.scatter_vector(src0)
+        if engine == "bricks":
+            from dealii_matrixfree_hanging_nodes_tpu.parallel.bricks_distributed import (
+                DistributedBrickLaplace,
+            )
+
+            dop = DistributedBrickLaplace(
+                mf, weights=cw, perform_communication=perform_communication
+            )
+            x0 = dop.from_dof_vector(src0)
+            counts_of = lambda d: np.bincount(
+                d.rank_of_cell, minlength=d.n_ranks
+            )
+        else:
+            dop = DistributedLaplace(
+                mf, weights=cw, perform_communication=perform_communication,
+                exchange=exchange,
+            )
+            x0 = dop.scatter_vector(src0)
         res = repeat_timed(
             lambda x: dop.vmult(x * np.asarray(1e-3, dtype)),
             x0,
@@ -70,6 +89,7 @@ def run(
             n_trials=1,
         )
         counts = np.bincount(dop.rank_of_cell, minlength=dop.n_ranks)
+        table.add_value("engine", engine)
         table.add_value("weight", round(float(w), 2))
         table.add_value("t_min", res.min)
         table.set_scientific("t_min", True)
@@ -104,4 +124,5 @@ if __name__ == "__main__":
         perform_communication="--no-comm" not in sys.argv,
         weights=np.arange(1.0, 10.05, 0.5) if "--coarse" in sys.argv else None,
         exchange="halo" if "--halo" in sys.argv else "allgather",
+        engine="bricks" if "--bricks" in sys.argv else "index",
     )

@@ -156,7 +156,13 @@ class MatrixFree:
 
     # ---- fast hanging-node application (C2) ---------------------------
     def _hn_matrix_data(self):
-        """Per-mask composite matrices for hn_mode="matrix" (built eagerly)."""
+        """Per-mask composite matrices for hn_mode="matrix" (built eagerly).
+
+        Scales to meshes with hundreds of distinct masks (annulus-style, 80%
+        constrained): only mask groups with > 256 cells get their own
+        gather/matmul pair; the long tail of small groups is padded into ONE
+        batched [G, m_max] gather + einsum + scatter, so the op count is
+        O(1) in the number of distinct masks."""
         if self._hn_matrix_groups is None:
             from .ops.hanging_nodes import apply_hanging_node_constraints as hn
 
@@ -165,7 +171,7 @@ class MatrixFree:
             hn_idx = self._np["hn_idx"]
             uniq = np.unique(masks_np[hn_idx])
             eye = jnp.eye(n_loc, dtype=self.dtype)
-            groups = []
+            large, small = [], []
             for mv in uniq:
                 # columns of Q: kernel applied to identity basis vectors
                 Q = np.asarray(
@@ -173,13 +179,31 @@ class MatrixFree:
                        jnp.asarray(self.shape.P, dtype=self.dtype), self.dim)
                 ).T  # rows act on cell values: out = u @ Q^T
                 cells = hn_idx[masks_np[hn_idx] == mv]
-                groups.append(
-                    dict(
-                        cells=jnp.asarray(cells.astype(np.int32)),
-                        Q=jnp.asarray(Q, dtype=self.dtype),
-                    )
+                (large if len(cells) > 256 else small).append((cells, Q))
+            groups = [
+                dict(
+                    cells=jnp.asarray(c.astype(np.int32)),
+                    Q=jnp.asarray(Q, dtype=self.dtype),
                 )
-            self._hn_matrix_groups = groups
+                for c, Q in large
+            ]
+            batched = None
+            if small:
+                m_max = max(len(c) for c, _ in small)
+                G = len(small)
+                cells_pad = np.empty((G, m_max), dtype=np.int32)
+                Qs = np.empty((G, n_loc, n_loc), dtype=self.dtype)
+                for i, (c, Q) in enumerate(small):
+                    # pad slots repeat the group's first cell: the duplicate
+                    # scatter writes carry identical values, so the .set is
+                    # deterministic
+                    cells_pad[i] = c[0]
+                    cells_pad[i, : len(c)] = c
+                    Qs[i] = Q
+                batched = dict(
+                    cells=jnp.asarray(cells_pad), Qs=jnp.asarray(Qs)
+                )
+            self._hn_matrix_groups = (groups, batched)
         return self._hn_matrix_groups
 
     def apply_hanging_node_constraints(self, u: jnp.ndarray, transpose: bool, arrays=None):
@@ -188,11 +212,21 @@ class MatrixFree:
         if self.n_hn_cells == 0:
             return u
         if self.hn_mode == "matrix":
-            for g in self._hn_matrix_data():
+            groups, batched = self._hn_matrix_data()
+            for g in groups:
                 rows = jnp.take(u, g["cells"], axis=0)
                 Q = g["Q"].T if transpose else g["Q"]
                 u = u.at[g["cells"]].set(
                     jnp.dot(rows, Q.T, preferred_element_type=u.dtype)
+                )
+            if batched is not None:
+                rows = jnp.take(u, batched["cells"].reshape(-1), axis=0)
+                rows = rows.reshape(batched["cells"].shape + rows.shape[-1:])
+                spec = "gmj,gji->gmi" if transpose else "gmj,gij->gmi"
+                out = jnp.einsum(spec, rows, batched["Qs"],
+                                 preferred_element_type=u.dtype)
+                u = u.at[batched["cells"].reshape(-1)].set(
+                    out.reshape(-1, out.shape[-1])
                 )
             return u
         if self.hn_mode == "all":

@@ -24,6 +24,17 @@ class ElasticityOperator:
                  constraints: bool = True):
         if mf.high_order_mapping:
             raise NotImplementedError("elasticity currently uses Cartesian mapping")
+        import numpy as np
+
+        geo = mf._np["geo"]
+        if not np.allclose(geo, geo[:, :1]):
+            # the mixed strain terms below fold the per-axis factors as
+            # sqrt(geo_a * geo_c) == geo, valid only when all axes share one
+            # factor (cube cells — true for every hyper_cube geometry here)
+            raise NotImplementedError(
+                "ElasticityOperator requires equal-axis (cube) cells; "
+                "anisotropic mappings need per-pair geometric factors"
+            )
         self.mf = mf
         self.mu = float(mu)
         self.lam = float(lam)
