@@ -1028,16 +1028,6 @@ class BrickLaplaceMM:
             edge_pool_id=np.asarray(bs.edge_pool_id.astype(np.int32)),
             corner_pool_id=np.asarray(bs.corner_pool_id.astype(np.int32)),
             geo_sub=np.asarray(geo_brick[sub_ids], dtype=mf.dtype),
-            # one-hot subset scatter [nb, n_sub]: v += Ssub @ dsub is ~3x
-            # faster than the row scatter-add v.at[sub_ids].add(dsub)
-            # (profiled: the two scatter-adds were the top ops at 4.1 ms each)
-            Ssub=np.asarray(
-                np.eye(1, dtype=np.float64) * 0.0
-                if len(sub_ids) == 0
-                else (np.arange(bs.n_bricks)[:, None] == sub_ids[None, :])
-                .astype(np.float64),
-                dtype=mf.dtype,
-            ),
             geo_cell_sub=np.asarray(
                 np.repeat(geo_brick[sub_ids], C), dtype=mf.dtype
             ),
@@ -1045,6 +1035,18 @@ class BrickLaplaceMM:
             hn_Q=hn_Q,
             fill_invden=np.asarray(fill_invden, dtype=mf.dtype),
         )
+        # subset write-back strategy: the one-hot scatter [nb, n_sub] matmul
+        # beats the row scatter-add ~3x at moderate sizes (profiled: the two
+        # scatter-adds were the top ops at 4.1 ms each at nref=7), but its
+        # cost grows as nb * n_sub * N3p — quadratic in mesh size — so large
+        # meshes switch back to .at[sub_ids].add (linear in n_sub)
+        self._use_ssub = bs.n_bricks * max(self._n_sub, 1) * N3p <= 2e11
+        if self._use_ssub and len(sub_ids):
+            self.arrays["Ssub"] = np.asarray(
+                (np.arange(bs.n_bricks)[:, None] == sub_ids[None, :])
+                .astype(np.float64),
+                dtype=mf.dtype,
+            )
 
         # deformed (MappingQCache analog) main path: per-quad-point packed
         # metric applied in the cols domain with sum-factorized sweeps — the
@@ -1100,7 +1102,8 @@ class BrickLaplaceMM:
                 # precision) — halves their HBM traffic. Verified bit-equal
                 # to the f32 operands on TPU under tensorfloat32.
                 staged["E"] = staged["E"].astype(jnp.bfloat16)
-                staged["Ssub"] = staged["Ssub"].astype(jnp.bfloat16)
+                if "Ssub" in staged:
+                    staged["Ssub"] = staged["Ssub"].astype(jnp.bfloat16)
                 staged["Es"] = staged["Es"].astype(jnp.bfloat16)
             self.arrays = staged
         return self.arrays
@@ -1124,6 +1127,13 @@ class BrickLaplaceMM:
             u = u.copy()
             u[self.mf.constraints.constrained_dof_marker()] = 0.0
         return u
+
+    def _subset_scatter_add(self, v, dsub, a):
+        """v[sub_ids] += dsub, as a one-hot matmul (fastest at moderate
+        sizes) or a row scatter-add (linear cost, large meshes)."""
+        if self._use_ssub:
+            return v + jnp.dot(a["Ssub"], dsub, preferred_element_type=v.dtype)
+        return v.at[a["sub_ids"]].add(dsub)
 
     # ------------------------------------------------------------------ dss
     def _dss_surface(self, surf, a):
@@ -1273,8 +1283,7 @@ class BrickLaplaceMM:
                     )
                     final = final.at[lz["lin"]].set(zeroed)
             delta = final - plain
-            v = v + jnp.dot(a["Ssub"], self._scatter_cols(delta, a),
-                            preferred_element_type=bv.dtype)
+            v = self._subset_scatter_add(v, self._scatter_cols(delta, a), a)
 
         return self._dss_fill(v, a)
 
@@ -1323,8 +1332,7 @@ class BrickLaplaceMM:
             diff = sub2 - orig_rows
             dcols = jnp.zeros_like(cols2).at[a["hn_sub"]].set(diff)
             num = self._scatter_cols(dcols, a)
-            v = v + jnp.dot(a["Ssub"], num * a["fill_invden"],
-                            preferred_element_type=v.dtype)
+            v = self._subset_scatter_add(v, num * a["fill_invden"], a)
         return v
 
     def _vmult_plain_impl(self, bv, a):
@@ -1342,8 +1350,7 @@ class BrickLaplaceMM:
             dcols = jnp.zeros_like(plain).at[a["absent_sub"]].set(
                 -jnp.take(plain, a["absent_sub"], axis=0)
             )
-            v = v + jnp.dot(a["Ssub"], self._scatter_cols(dcols, a),
-                            preferred_element_type=bv.dtype)
+            v = self._subset_scatter_add(v, self._scatter_cols(dcols, a), a)
         surf = jnp.dot(v, a["Es"].T, preferred_element_type=bv.dtype)
         surf_new = self._dss_surface(surf, a)
         return jnp.where(
