@@ -41,27 +41,50 @@ def run(
     engine: str = "index",
 ):
     """engine="index" is the reference's MemorySpace::Host analog;
-    engine="bricks" is the device-native path (the CUDA analog)."""
+    engine="bricks" is the device-native path (the CUDA analog).
+
+    Setup for ALL refinement rows happens before the first device use:
+    once the TPU backend initializes, host NumPy on this machine slows
+    ~50-100x (single vCPU shared with the runtime), which turned the
+    nref=8 row's setup from ~2 min into ~28 min when interleaved.
+    """
     table = table if table is not None else ConvergenceTable()
+    from dealii_matrixfree_hanging_nodes_tpu.constraint_helper import Helper
+
+    rows = []
     for n_ref in range(min_ref, max_ref + 1):
+        import time as _time
+
+        t_setup = _time.perf_counter()
         tria = mfhn.create_geometry(geometry, dim, n_ref)
         mf = MatrixFree(tria, degree, dtype=dtype)
         # two-oracle redundancy: the pure-topology Helper census must agree
         # with the compressed-mask census (benchmark_03.h:412-432)
-        from dealii_matrixfree_hanging_nodes_tpu.constraint_helper import Helper
-
         n_hn_topo, _ = Helper(tria).census()
         assert n_hn_topo == mf.constraints.n_constrained_cells, (
             n_hn_topo, mf.constraints.n_constrained_cells,
         )
-        src = jnp.asarray(interpolate(mf.dof_handler), dtype=mf.dtype)
-        scale = jnp.asarray(1e-3, mf.dtype)
+        src_np = interpolate(mf.dof_handler)
         brick_op = None
         if engine == "bricks":
             from dealii_matrixfree_hanging_nodes_tpu.bricks import BrickLaplaceMM
 
             brick_op = BrickLaplaceMM(mf)
-            src_b = brick_op.from_dof_vector(np.asarray(src))
+            # brick-layout conversion is NumPy-heavy: do it pre-device too
+            src_np = brick_op.from_dof_vector(
+                src_np.astype(mf.dtype), to_device=False
+            )
+        t_setup = _time.perf_counter() - t_setup
+        print(f"# setup n_ref={n_ref}: {t_setup:.1f} s "
+              f"({mf.n_dofs} dofs)", flush=True)
+        rows.append((n_ref, mf, brick_op, src_np, t_setup))
+
+    for n_ref, mf, brick_op, src_np, t_setup in rows:
+        scale = jnp.asarray(1e-3, mf.dtype)
+        if brick_op is not None:
+            src_b = jnp.asarray(src_np)
+        else:
+            src = jnp.asarray(src_np, dtype=mf.dtype)
 
         table.add_value("geometry", geometry)
         table.add_value("n_ref", n_ref)
@@ -69,6 +92,7 @@ def run(
         table.add_value("n_cells", mf.n_cells)
         table.add_value("n_cells_hn", mf.constraints.n_constrained_cells)
         table.add_value("n_dofs", mf.n_dofs)
+        table.add_value("setup_s", round(t_setup, 1))
 
         # apples-to-apples ±constraints pair (reference: benchmark_03.h:
         # 510-532), INTERLEAVED trials so the tunnel's minute-scale
@@ -114,6 +138,11 @@ def run(
             "overhead_pct", round(100 * (t_pair[True] / t_pair[False] - 1), 2)
         )
         print(table.write_text())
+        # release this row's device arrays before the next row stages its own
+        # (an nref=8 brick row stages ~1.5 GB; rows would otherwise accumulate
+        # in HBM across the sweep)
+        if brick_op is not None:
+            brick_op.arrays = None
     return table
 
 

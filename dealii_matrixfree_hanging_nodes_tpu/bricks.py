@@ -1109,7 +1109,10 @@ class BrickLaplaceMM:
         return self.arrays
 
     # ------------------------------------------------------------ conversions
-    def from_dof_vector(self, u):
+    def from_dof_vector(self, u, to_device: bool = True):
+        """to_device=False returns the host array — lets drivers do the
+        NumPy-heavy conversion BEFORE the TPU backend initializes (host
+        NumPy slows ~50-100x afterwards; see CLAUDE.md landmines)."""
         bs = self.bs
         u_dist = self.mf.constraints.distribute(np.asarray(u))
         flat = np.zeros(bs.n_bricks * self.N3, dtype=self.mf.dtype)
@@ -1117,7 +1120,7 @@ class BrickLaplaceMM:
         flat = flat.reshape(bs.n_bricks, self.N3)
         out = np.zeros((bs.n_bricks, self.N3p), dtype=self.mf.dtype)
         out[:, : self.N3] = flat
-        return jnp.asarray(out)
+        return jnp.asarray(out) if to_device else out
 
     def to_dof_vector(self, bv, zero_hanging=False):
         bs = self.bs

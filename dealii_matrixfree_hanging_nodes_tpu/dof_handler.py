@@ -72,6 +72,16 @@ class DoFHandler:
                 f"entity-marker field overflow: degree {p} at {lmax} levels"
             )
 
+        from . import native
+
+        full = native.distribute_dofs(dim, p, tria.level, tria.coord)
+        if full is not None:
+            gids, n_dofs = full
+            self.cell_dofs = gids.reshape(n_cells, n_loc)
+            self.n_dofs = n_dofs
+            self._lat = lat
+            return
+
         sz = (np.int64(1) << (lmax - tria.level)).astype(np.int64)  # [n_cells]
         base = tria.coord * sz[:, None]  # [n_cells, dim] lower corner @ lmax
 

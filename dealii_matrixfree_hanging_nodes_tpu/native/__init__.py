@@ -60,6 +60,15 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.hn_distribute_dofs.restype = ctypes.c_int64
+        lib.hn_distribute_dofs.argtypes = [
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
     except OSError:
         _lib = None
@@ -88,6 +97,28 @@ def balance_flags(dim: int, level: np.ndarray, coord: np.ndarray):
         _ptr(flags, ctypes.c_uint8)
     )
     return flags.astype(bool)
+
+
+def distribute_dofs(dim: int, degree: int, level: np.ndarray,
+                    coord: np.ndarray):
+    """Full entity-key DoF distribution (key build + dedup) in one native
+    pass; returns (cell_dofs flat [n_cells*n_loc], n_dofs) or None if
+    unavailable/unsupported (caller uses the NumPy path)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "hn_distribute_dofs"):
+        return None
+    n = len(level)
+    level = np.ascontiguousarray(level, dtype=np.int64)
+    coord = np.ascontiguousarray(coord, dtype=np.int64)
+    n_loc = (degree + 1) ** dim
+    gids = np.empty(n * n_loc, dtype=np.int64)
+    n_dofs = lib.hn_distribute_dofs(
+        dim, degree, n, _ptr(level, ctypes.c_int64),
+        _ptr(coord, ctypes.c_int64), _ptr(gids, ctypes.c_int64)
+    )
+    if n_dofs < 0:
+        return None
+    return gids, int(n_dofs)
 
 
 def dof_unique(key1: np.ndarray, key2: np.ndarray):

@@ -1,0 +1,96 @@
+"""Phase ablation of the brick-engine HN overhead (eta work).
+
+Times the constrained brick vmult with HN-specific phases peeled off, all
+interleaved in one weather window (utils.timing.repeat_timed_paired), to
+locate where the constrained-minus-plain time goes. Reference pair being
+modeled: benchmark_03.h:510-532 (±constraints vmult).
+
+  python experiments/eta_phases.py [nref] [degree]
+"""
+
+import sys
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import dealii_matrixfree_hanging_nodes_tpu as mfhn
+from dealii_matrixfree_hanging_nodes_tpu.matrix_free import MatrixFree
+from dealii_matrixfree_hanging_nodes_tpu.bricks import BrickLaplaceMM
+from dealii_matrixfree_hanging_nodes_tpu.utils.timing import repeat_timed_paired
+
+
+def main(nref=7, degree=4):
+    t = mfhn.create_quadrant(3, nref)
+    mf = MatrixFree(t, degree, dtype=np.float32)
+    op = BrickLaplaceMM(mf)
+    src = np.random.default_rng(0).standard_normal(
+        (op.bs.n_bricks, op.N3p)).astype(np.float32)
+    a = op._stage()
+    bv0 = jnp.asarray(src)
+    scale = jnp.float32(1e-3)
+
+    def correction_only(bv):
+        # main + correction (no DSS, no fill)
+        v = op._main_apply(bv, a) * a["geo"][:, None]
+        if op._n_sub:
+            u_sub = jnp.take(bv, a["sub_ids"], axis=0)
+            cols_u = op._extract_cols(u_sub, a)
+            plain = jnp.dot(cols_u, a["K"].T,
+                            preferred_element_type=bv.dtype)
+            plain = plain * a["geo_cell_sub"][:, None]
+            final = plain
+            if a["absent_sub"].shape[0]:
+                final = final.at[a["absent_sub"]].set(0.0)
+            if a["hn_sub"].shape[0]:
+                own = jnp.take(final, a["hn_sub"], axis=0)
+                sub_raw = op._hn_apply(own, a, transpose=True)
+                final = final.at[a["hn_sub"]].set(sub_raw)
+                for lv in sorted(op._levels, reverse=True):
+                    rows_all, coarse_all = [], []
+                    for g in a["transfers"][lv]:
+                        rows_all.append(jnp.dot(
+                            jnp.take(final, g["fine"], axis=0), g["T"],
+                            preferred_element_type=bv.dtype))
+                        coarse_all.append(g["coarse"])
+                    lz = a["level_zero"][lv]
+                    zeroed = jnp.take(final, lz["lin"], axis=0) * lz["keep"]
+                    final = final.at[jnp.concatenate(coarse_all)].add(
+                        jnp.concatenate(rows_all, axis=0))
+                    final = final.at[lz["lin"]].set(zeroed)
+            delta = final - plain
+            v = op._subset_scatter_add(v, op._scatter_cols(delta, a), a)
+        return v
+
+    def no_fill(bv):
+        # main + correction + DSS (skip step 4)
+        v = correction_only(bv)
+        surf = jnp.dot(v, a["Es"].T, preferred_element_type=v.dtype)
+        surf_new = op._dss_surface(surf, a)
+        return jnp.where(
+            a["node_valid"],
+            v + jnp.dot(surf_new - surf, a["Es"],
+                        preferred_element_type=v.dtype),
+            0.0,
+        )
+
+    variants = {
+        "plain": lambda x: op.vmult_plain(x * scale),
+        "corr_only": jax.jit(lambda x: correction_only(x * scale)),
+        "no_fill": jax.jit(lambda x: no_fill(x * scale)),
+        "full": lambda x: op.vmult(x * scale),
+    }
+    names = list(variants)
+    results = repeat_timed_paired(
+        [variants[n] for n in names], [bv0] * len(names),
+        n_reps=60, n_trials=4)
+    base = results[0].min
+    for n, r in zip(names, results):
+        print(f"{n:<12} min {r.min*1e3:8.3f} ms  avg {r.avg*1e3:8.3f} ms  "
+              f"vs plain {100*(r.min/base-1):+6.2f}%")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 7,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 4)
