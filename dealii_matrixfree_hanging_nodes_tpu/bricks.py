@@ -997,6 +997,52 @@ class BrickLaplaceMM:
         den = np.zeros((len(sub_ids), N3p))
         np.add.at(den, (hn_brick[:, None], slot_idx[hn_slot]), 1.0)
         fill_invden = np.where(den > 0, 1.0 / np.maximum(den, 1.0), 0.0)
+        # Fill-on-the-exchange-vector operands. The fill touches only:
+        #   writes — closure slots (constrained entity slots + vertex-contact
+        #     corners; diff is provably zero elsewhere: folds/level-zeroing
+        #     touch closure slots only and the composite Q is identity off
+        #     the constrained entities),
+        #   reads — closure slots (Q inputs, lz rows, fold src) plus the
+        #     fold mirror slots on coarse cells.
+        # Most of these are brick-surface nodes already carried by the DSS
+        # surface vector; the rest (interfaces interior to straddling
+        # bricks) extend it by nX extra positions. The fill then RIDES the
+        # existing surface extract/scatter matmul pair instead of paying its
+        # own volume-sized pair (which was the entire measured HN overhead).
+        closure_nodes = slot_idx[hn_slot][bs.hn_closure]
+        F_nodes = np.unique(closure_nodes)
+        read_nodes = [F_nodes]
+        for gl in groups.values():
+            for g in gl:
+                _, dst = np.nonzero(np.asarray(g["T"], dtype=np.float64))
+                read_nodes.append(
+                    np.unique(slot_idx[np.asarray(g["coarse"]) % C][:, dst])
+                )
+        fill_nodes = np.unique(np.concatenate(read_nodes))
+        X_nodes = np.setdiff1d(fill_nodes, surf_idx)
+        nX = len(X_nodes)
+        self.n_surfX = self.n_surf + nX
+        EsX = np.zeros((self.n_surfX, N3p))
+        EsX[: self.n_surf] = Es
+        EsX[self.n_surf + np.arange(nX), X_nodes] = 1.0
+        pos_of_node = np.full(N3p, -1, dtype=np.int64)
+        pos_of_node[surf_idx] = np.arange(self.n_surf)
+        pos_of_node[X_nodes] = self.n_surf + np.arange(nX)
+        kpos = pos_of_node[slot_idx.reshape(-1)]  # [C*n_loc] -> pos | -1
+        # extraction one-hot (exchange -> cols), restricted to fill reads
+        kread = np.zeros(N3p, dtype=bool)
+        kread[fill_nodes] = True
+        ks = np.nonzero(kread[slot_idx.reshape(-1)])[0]
+        EscX = np.zeros((self.n_surfX, C * n_loc))
+        EscX[kpos[ks], ks] = 1.0
+        # scatter one-hot (cols -> exchange), restricted to fill writes (F)
+        kF = np.zeros(N3p, dtype=bool)
+        kF[F_nodes] = True
+        ksw = np.nonzero(kF[slot_idx.reshape(-1)])[0]
+        EFX = np.zeros((C * n_loc, self.n_surfX))
+        EFX[ksw, kpos[ksw]] = 1.0
+        node_of_pos = np.concatenate([surf_idx, X_nodes]).astype(np.int64)
+        fill_invden_X = fill_invden[:, node_of_pos]
 
         # present/validity in subset cols numbering
         present_sub = bs.present.reshape(bs.n_bricks, C)[sub_ids].reshape(-1)
@@ -1033,7 +1079,10 @@ class BrickLaplaceMM:
             ),
             present_sub=np.asarray(present_sub.astype(np.float64), dtype=mf.dtype),
             hn_Q=hn_Q,
-            fill_invden=np.asarray(fill_invden, dtype=mf.dtype),
+            EsX=np.asarray(EsX, dtype=mf.dtype),
+            EscX=np.asarray(EscX, dtype=mf.dtype),
+            EFX=np.asarray(EFX, dtype=mf.dtype),
+            fill_invden_X=np.asarray(fill_invden_X, dtype=mf.dtype),
         )
         # subset write-back strategy: the one-hot scatter [nb, n_sub] matmul
         # beats the row scatter-add ~3x at moderate sizes (profiled: the two
@@ -1105,6 +1154,9 @@ class BrickLaplaceMM:
                 if "Ssub" in staged:
                     staged["Ssub"] = staged["Ssub"].astype(jnp.bfloat16)
                 staged["Es"] = staged["Es"].astype(jnp.bfloat16)
+                staged["EsX"] = staged["EsX"].astype(jnp.bfloat16)
+                staged["EscX"] = staged["EscX"].astype(jnp.bfloat16)
+                staged["EFX"] = staged["EFX"].astype(jnp.bfloat16)
             self.arrays = staged
         return self.arrays
 
@@ -1292,24 +1344,34 @@ class BrickLaplaceMM:
 
     def _dss_fill(self, v, a):
         """Steps 3-4, shared by the Cartesian and deformed paths:
-        cross-brick DSS on the surface vector, then the fill pass."""
-        # 3) cross-brick DSS on the surface vector. (No node_valid masking
-        #    needed before the fill: hole-node values are ~0 after the absent
-        #    correction, and the fill reads only present-cell rows.)
-        surf = jnp.dot(v, a["Es"].T, preferred_element_type=v.dtype)
+        cross-brick DSS and the fill pass, both riding ONE extract/scatter
+        pair on the extended exchange vector [nb, n_surfX] (surface nodes +
+        the few interior fill nodes of straddling bricks). The fill reads
+        the post-DSS exchange values, runs the fold/HN chain on small
+        [*, n_loc] rows, and lands its updates in the same exchange delta
+        that the DSS scatters back — its marginal cost is the chain plus
+        subset-sized matmuls, not the volume-sized pair it used to pay
+        (which was the entire measured HN overhead of the constrained
+        vmult)."""
+        ns = self.n_surf  # static int
+        surfX = jnp.dot(v, a["EsX"].T, preferred_element_type=v.dtype)
+        surf = surfX[:, :ns]
         surf_new = self._dss_surface(surf, a)
-        # hole-node masking fused here (the fill below touches only valid
-        # nodes, so no final where pass is needed)
-        v = jnp.where(
-            a["node_valid"],
-            v + jnp.dot(surf_new - surf, a["Es"], preferred_element_type=v.dtype),
-            0.0,
+        delta = jnp.concatenate(
+            [surf_new - surf, jnp.zeros_like(surfX[:, ns:])], axis=1
         )
 
-        # 4) fill pass on the subset (restore the distributed invariant)
+        # fill pass (restore the distributed invariant), exchange domain.
+        # (No node_valid masking needed first: hole-node values are ~0
+        # after the absent correction, and the fill reads entity rows of
+        # present cells only.)
         if self._n_sub and a["hn_sub"].shape[0]:
-            v_sub = jnp.take(v, a["sub_ids"], axis=0)
-            cols2 = self._extract_cols(v_sub, a)
+            inp = jnp.concatenate([surf_new, surfX[:, ns:]], axis=1)
+            inp_sub = jnp.take(inp, a["sub_ids"], axis=0)
+            C = self.bs.B**self.bs.dim
+            cols2 = jnp.dot(
+                inp_sub, a["EscX"], preferred_element_type=v.dtype
+            ).reshape(self._n_sub * C, -1)
             orig_rows = jnp.take(cols2, a["hn_sub"], axis=0)
             for lv in sorted(self._levels):
                 lz = a["level_zero"][lv]
@@ -1331,12 +1393,22 @@ class BrickLaplaceMM:
             )
             # node updates from changed (constrained) cells only; every
             # covering writer holds the same value, so divide by the
-            # (static, precomputed) coverage count
+            # (static, precomputed) coverage count. diff is provably zero
+            # off the closure slots (fill writes = F positions only).
             diff = sub2 - orig_rows
             dcols = jnp.zeros_like(cols2).at[a["hn_sub"]].set(diff)
-            num = self._scatter_cols(dcols, a)
-            v = self._subset_scatter_add(v, num * a["fill_invden"], a)
-        return v
+            add = jnp.dot(
+                dcols.reshape(self._n_sub, -1), a["EFX"],
+                preferred_element_type=v.dtype,
+            ) * a["fill_invden_X"]
+            delta = self._subset_scatter_add(delta, add, a)
+
+        # one shared scatter-back; hole-node masking fused here
+        return jnp.where(
+            a["node_valid"],
+            v + jnp.dot(delta, a["EsX"], preferred_element_type=v.dtype),
+            0.0,
+        )
 
     def _vmult_plain_impl(self, bv, a):
         """Constraints-off vmult: main operator + hole (absent-cell)

@@ -75,10 +75,52 @@ def main(nref=7, degree=4):
             0.0,
         )
 
+    C = op.bs.B ** op.bs.dim
+
+    def fill_chain(bv):
+        # full fill computation chain, but the final scatter pair replaced
+        # by a token write — isolates fold/hn chain cost from scatter cost
+        v = no_fill(bv)
+        if op._n_sub and a["hn_sub"].shape[0]:
+            v_sub = jnp.take(v, a["sub_ids"], axis=0)
+            cols2 = op._extract_cols(v_sub, a)
+            orig_rows = jnp.take(cols2, a["hn_sub"], axis=0)
+            for lv in sorted(op._levels):
+                lz = a["level_zero"][lv]
+                cols2 = cols2.at[lz["lin"]].set(
+                    jnp.take(cols2, lz["lin"], axis=0) * lz["keep"]
+                )
+                rows_all, fine_all = [], []
+                for g in a["transfers"][lv]:
+                    rows_all.append(jnp.dot(
+                        jnp.take(cols2, g["coarse"], axis=0), g["T"].T,
+                        preferred_element_type=v.dtype))
+                    fine_all.append(g["fine"])
+                cols2 = cols2.at[jnp.concatenate(fine_all)].add(
+                    jnp.concatenate(rows_all, axis=0))
+            sub2 = op._hn_apply(
+                jnp.take(cols2, a["hn_sub"], axis=0), a, transpose=False)
+            diff = sub2 - orig_rows
+            v = v.at[0, :1].add(jnp.sum(diff) * 1e-30)
+        return v
+
+    jco = jax.jit(lambda x: correction_only(x * scale))
+    jnf = jax.jit(lambda x: no_fill(x * scale))
+    jfc = jax.jit(lambda x: fill_chain(x * scale))
+
+    def with_prec(f):
+        # match the operator's precision context (vmult/vmult_plain run
+        # tf32); without this the ablation variants time bf16 matmuls
+        def g(x):
+            with jax.default_matmul_precision("tensorfloat32"):
+                return f(x)
+        return g
+
     variants = {
         "plain": lambda x: op.vmult_plain(x * scale),
-        "corr_only": jax.jit(lambda x: correction_only(x * scale)),
-        "no_fill": jax.jit(lambda x: no_fill(x * scale)),
+        "corr_only": with_prec(jco),
+        "no_fill": with_prec(jnf),
+        "fill_chain": with_prec(jfc),
         "full": lambda x: op.vmult(x * scale),
     }
     names = list(variants)
