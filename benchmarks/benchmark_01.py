@@ -130,18 +130,17 @@ class Test:
         return info
 
     # --------------------------------------------------------------- run
-    def run(
+    def build_step(
         self,
         do_cg: bool,
         do_constraints: bool,
         do_quad: bool,
         fast_algorithm: bool = True,
-    ) -> float:
-        """Average seconds per vmult over n_reps (benchmark_01.h:483-576)."""
+    ):
+        """(step_fn(x, arrays), x0) for one t0..t7 configuration — shared by
+        the timing loop and the counter driver (benchmark_01_counters.py)."""
         mf = self.mf
-        arrays = mf.arrays
         kernel = self._kernel
-        scale = jnp.asarray(1e-3, mf.dtype)
 
         if do_cg:
 
@@ -175,7 +174,22 @@ class Test:
                 ),
                 mf.dtype,
             )
+        return step_fn, x0
 
+    def run(
+        self,
+        do_cg: bool,
+        do_constraints: bool,
+        do_quad: bool,
+        fast_algorithm: bool = True,
+    ) -> float:
+        """Average seconds per vmult over n_reps (benchmark_01.h:483-576)."""
+        mf = self.mf
+        arrays = mf.arrays
+        scale = jnp.asarray(1e-3, mf.dtype)
+        step_fn, x0 = self.build_step(
+            do_cg, do_constraints, do_quad, fast_algorithm
+        )
         jit_step = jax.jit(step_fn)
         res = repeat_timed(
             lambda x: jit_step(x * scale, arrays), x0, n_reps=self.n_reps, n_trials=1

@@ -87,6 +87,10 @@ def run(
             x0,
             n_reps=n_reps,
             n_trials=1,
+            # per-rep fence (reference: MPI_Barrier each rep,
+            # benchmark_01.h:538); also required on the virtual CPU mesh —
+            # async-chaining collective programs deadlocks the rendezvous
+            sync_each=jax.devices()[0].platform == "cpu",
         )
         counts = np.bincount(dop.rank_of_cell, minlength=dop.n_ranks)
         table.add_value("engine", engine)

@@ -42,11 +42,18 @@ class TimingResult:
         return f"TimingResult(min={self.min:.4e}, avg={self.avg:.4e}, max={self.max:.4e})"
 
 
-def repeat_timed(step, x0, n_reps: int = 100, n_trials: int = 3) -> TimingResult:
+def repeat_timed(step, x0, n_reps: int = 100, n_trials: int = 3,
+                 sync_each: bool = False) -> TimingResult:
     """Time ``x = step(x)`` chains; returns per-rep seconds over trials.
 
     step must map a device array to a like-shaped device array. The chain is
     re-seeded from x0 each trial; each trial ends with a host fetch.
+
+    sync_each=True fences every repetition (block_until_ready) — the analog
+    of the reference's per-rep MPI_Barrier (benchmark_01.h:538). Required on
+    the virtual multi-device CPU mesh: async-dispatching many chained
+    programs with collectives floods the single core's thread pool with
+    spinning rendezvous threads until the collective deadlocks.
     """
     x = step(x0)
     _ = np.asarray(x).ravel()[:1]  # compile + hard sync
@@ -56,6 +63,8 @@ def repeat_timed(step, x0, n_reps: int = 100, n_trials: int = 3) -> TimingResult
         t0 = time.perf_counter()
         for _ in range(n_reps):
             x = step(x)
+            if sync_each:
+                x.block_until_ready()
         _ = np.asarray(x).ravel()[:1]
         times.append((time.perf_counter() - t0) / n_reps)
     return TimingResult(times)

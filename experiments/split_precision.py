@@ -19,6 +19,11 @@ Ground truth: the same matmul in NumPy f64 on host. Prints one row per
 rung: max relative error + effective GDoF/s for an nref-sized brick batch.
 
   python experiments/split_precision.py [nb] [p]
+
+B=2 bricks (N3p=768) keep every staged operand under ~25 MB — the tunnel
+moves large host->device transfers at single-digit MB/s in bad weather,
+which made the B=4 (100 MB operator) variant unrunnable. Accumulation
+error grows ~sqrt(K); K=768 vs 4992 shifts the f32 rungs by ~2.5x.
 """
 
 import sys
@@ -29,7 +34,7 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def main(nb=4400, p=4, B=4):
+def main(nb=4096, p=4, B=2):
     import jax
     import jax.numpy as jnp
 
@@ -72,6 +77,7 @@ def main(nb=4400, p=4, B=4):
 
     dev = jax.devices()[0]
     put = lambda x: jax.device_put(x, dev)
+    print("# staging operands...", flush=True)
     dA, dAlo, du, dulo = map(put, (A32, A_lo, u32, u_lo))
 
     def timed(fn, x):
@@ -100,6 +106,7 @@ def main(nb=4400, p=4, B=4):
         y, dt = timed(g, du)
         err = np.abs(y.astype(np.float64) - ref).max() / scale_ref
         rows.append((name, err, n_dofs_equiv / dt / 1e9))
+        print(f"# {name} done", flush=True)
 
     # ff2: three exact-f32 passes, combined hi->lo
     def ff2(x):
@@ -147,5 +154,5 @@ def main(nb=4400, p=4, B=4):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 4400,
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 4096,
          int(sys.argv[2]) if len(sys.argv) > 2 else 4)
