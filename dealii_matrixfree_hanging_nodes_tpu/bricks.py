@@ -948,6 +948,32 @@ class BrickLaplaceMM:
                     T=np.asarray(T, dtype=mf.dtype),
                 )
             )
+        # batched per-level transfer tensors: one padded [G, m_max] gather +
+        # one [G, m, n_loc] x [G, n_loc, n_loc] einsum + one scatter-add per
+        # level replaces the per-group take/dot/concat chains (~144 groups
+        # at nref=7 — kernel-launch-latency-bound on the tunneled backend)
+        transfers_b = {}
+        for lv in levels:
+            gl = groups[lv]
+            G = len(gl)
+            m_max = max(len(g["fine"]) for g in gl)
+            fine_pad = np.zeros((G, m_max), dtype=np.int32)
+            coarse_pad = np.zeros((G, m_max), dtype=np.int32)
+            mask_pad = np.zeros((G, m_max, 1))
+            T_stack = np.zeros((G, n_loc, n_loc))
+            for gi, g in enumerate(gl):
+                m = len(g["fine"])
+                fine_pad[gi, :m] = g["fine"]
+                coarse_pad[gi, :m] = g["coarse"]
+                mask_pad[gi, :m] = 1.0
+                T_stack[gi] = g["T"]
+            transfers_b[lv] = dict(
+                fine=fine_pad,
+                coarse=coarse_pad,
+                mask=np.asarray(mask_pad, dtype=mf.dtype),
+                T=np.asarray(T_stack, dtype=mf.dtype),
+            )
+
         xfer_levels = np.asarray(mf.tria.level[bs.xfer_cells])
         level_zero = {}
         for lv in levels:
@@ -1068,6 +1094,7 @@ class BrickLaplaceMM:
             closure=np.asarray(bs.hn_closure.astype(np.float64), dtype=mf.dtype),
             P=np.asarray(si.P, dtype=mf.dtype),
             transfers=groups,
+            transfers_b=transfers_b,
             level_zero=level_zero,
             node_valid=np.asarray(nv_pad),
             face_pool_id=np.asarray(bs.face_pool_id.astype(np.int32)),
@@ -1268,6 +1295,27 @@ class BrickLaplaceMM:
                 )
         return jnp.concatenate(parts, axis=0)
 
+    # ----------------------------------------------------------- fold level
+    def _fold_level(self, rows, tb, fill: bool):
+        """One batched level of coarse-fine transfers on cols rows.
+
+        fill=False (fold, correction direction): rows[coarse] += T^T-free
+        form — gather fine rows, apply T, scatter-add into coarse rows.
+        fill=True: gather coarse rows, apply T^T, scatter-add into fine.
+        One gather + one batched einsum + one scatter-add per level instead
+        of per-group chains."""
+        src = tb["coarse"] if fill else tb["fine"]
+        dst = tb["fine"] if fill else tb["coarse"]
+        G, m = src.shape
+        sel = jnp.take(rows, src.reshape(-1), axis=0).reshape(G, m, -1)
+        T = tb["T"]
+        out = jnp.einsum(
+            "gmi,gij->gmj", sel,
+            jnp.swapaxes(T, 1, 2) if fill else T,
+            preferred_element_type=rows.dtype,
+        ) * tb["mask"]
+        return rows.at[dst.reshape(-1)].add(out.reshape(G * m, -1))
+
     # ------------------------------------------------------------ main path
     def _main_apply(self, bv, a):
         """v = bv @ A_brick^T, either via the dense assembled matrix or the
@@ -1324,17 +1372,10 @@ class BrickLaplaceMM:
                 sub_raw = self._hn_apply(own, a, transpose=True)
                 final = final.at[a["hn_sub"]].set(sub_raw)
                 for lv in sorted(self._levels, reverse=True):
-                    rows_all, coarse_all = [], []
-                    for g in a["transfers"][lv]:
-                        rows_all.append(
-                            jnp.dot(jnp.take(final, g["fine"], axis=0), g["T"],
-                                    preferred_element_type=bv.dtype)
-                        )
-                        coarse_all.append(g["coarse"])
                     lz = a["level_zero"][lv]
                     zeroed = jnp.take(final, lz["lin"], axis=0) * lz["keep"]
-                    final = final.at[jnp.concatenate(coarse_all)].add(
-                        jnp.concatenate(rows_all, axis=0)
+                    final = self._fold_level(
+                        final, a["transfers_b"][lv], fill=False
                     )
                     final = final.at[lz["lin"]].set(zeroed)
             delta = final - plain
@@ -1378,16 +1419,7 @@ class BrickLaplaceMM:
                 cols2 = cols2.at[lz["lin"]].set(
                     jnp.take(cols2, lz["lin"], axis=0) * lz["keep"]
                 )
-                rows_all, fine_all = [], []
-                for g in a["transfers"][lv]:
-                    rows_all.append(
-                        jnp.dot(jnp.take(cols2, g["coarse"], axis=0), g["T"].T,
-                                preferred_element_type=v.dtype)
-                    )
-                    fine_all.append(g["fine"])
-                cols2 = cols2.at[jnp.concatenate(fine_all)].add(
-                    jnp.concatenate(rows_all, axis=0)
-                )
+                cols2 = self._fold_level(cols2, a["transfers_b"][lv], fill=True)
             sub2 = self._hn_apply(
                 jnp.take(cols2, a["hn_sub"], axis=0), a, transpose=False
             )

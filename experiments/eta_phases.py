@@ -48,16 +48,10 @@ def main(nref=7, degree=4):
                 sub_raw = op._hn_apply(own, a, transpose=True)
                 final = final.at[a["hn_sub"]].set(sub_raw)
                 for lv in sorted(op._levels, reverse=True):
-                    rows_all, coarse_all = [], []
-                    for g in a["transfers"][lv]:
-                        rows_all.append(jnp.dot(
-                            jnp.take(final, g["fine"], axis=0), g["T"],
-                            preferred_element_type=bv.dtype))
-                        coarse_all.append(g["coarse"])
                     lz = a["level_zero"][lv]
                     zeroed = jnp.take(final, lz["lin"], axis=0) * lz["keep"]
-                    final = final.at[jnp.concatenate(coarse_all)].add(
-                        jnp.concatenate(rows_all, axis=0))
+                    final = op._fold_level(
+                        final, a["transfers_b"][lv], fill=False)
                     final = final.at[lz["lin"]].set(zeroed)
             delta = final - plain
             v = op._subset_scatter_add(v, op._scatter_cols(delta, a), a)
@@ -90,14 +84,7 @@ def main(nref=7, degree=4):
                 cols2 = cols2.at[lz["lin"]].set(
                     jnp.take(cols2, lz["lin"], axis=0) * lz["keep"]
                 )
-                rows_all, fine_all = [], []
-                for g in a["transfers"][lv]:
-                    rows_all.append(jnp.dot(
-                        jnp.take(cols2, g["coarse"], axis=0), g["T"].T,
-                        preferred_element_type=v.dtype))
-                    fine_all.append(g["fine"])
-                cols2 = cols2.at[jnp.concatenate(fine_all)].add(
-                    jnp.concatenate(rows_all, axis=0))
+                cols2 = op._fold_level(cols2, a["transfers_b"][lv], fill=True)
             sub2 = op._hn_apply(
                 jnp.take(cols2, a["hn_sub"], axis=0), a, transpose=False)
             diff = sub2 - orig_rows
