@@ -102,6 +102,10 @@ def run(nref: int = 3, degree: int = 2, dtype=np.float64):
 
 
 if __name__ == "__main__":
+    if jax.default_backend() == "cpu":
+        # true f64 on host (outside pytest, x64 is off by default and the
+        # f64 dtype silently degrades to f32, hiding the 1e-10 tolerances)
+        jax.config.update("jax_enable_x64", True)
     nref = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     degree = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     run(nref, degree)
