@@ -99,10 +99,14 @@ def main(nb=4096, p=4, B=2):
 
     for name, prec in (("bf16", "default"), ("tf32", "tensorfloat32"),
                        ("f32", "highest")):
-        def g(x, prec=prec):
+        # jit hoisted out of the step (a jit built inside the step would
+        # retrace every repetition and time compilation, not the matmul)
+        jitted = jax.jit(lambda y: jnp.dot(
+            y, dA.T, preferred_element_type=jnp.float32))
+
+        def g(x, prec=prec, jitted=jitted):
             with jax.default_matmul_precision(prec):
-                return jax.jit(lambda y: jnp.dot(
-                    y, dA.T, preferred_element_type=jnp.float32))(x)
+                return jitted(x)
         y, dt = timed(g, du)
         err = np.abs(y.astype(np.float64) - ref).max() / scale_ref
         rows.append((name, err, n_dofs_equiv / dt / 1e9))
