@@ -1048,9 +1048,12 @@ class BrickLaplaceMM:
         X_nodes = np.setdiff1d(fill_nodes, surf_idx)
         nX = len(X_nodes)
         self.n_surfX = self.n_surf + nX
-        EsX = np.zeros((self.n_surfX, N3p))
-        EsX[: self.n_surf] = Es
-        EsX[self.n_surf + np.arange(nX), X_nodes] = 1.0
+        self._nX = nX
+        # interior-extension one-hot (sub-brick-only traffic): the global
+        # exchange pair stays at the plain path's n_surf width — only the
+        # n_sub exceptional bricks pay for the nX interior fill nodes
+        EsI = np.zeros((nX, N3p))
+        EsI[np.arange(nX), X_nodes] = 1.0
         pos_of_node = np.full(N3p, -1, dtype=np.int64)
         pos_of_node[surf_idx] = np.arange(self.n_surf)
         pos_of_node[X_nodes] = self.n_surf + np.arange(nX)
@@ -1106,7 +1109,7 @@ class BrickLaplaceMM:
             ),
             present_sub=np.asarray(present_sub.astype(np.float64), dtype=mf.dtype),
             hn_Q=hn_Q,
-            EsX=np.asarray(EsX, dtype=mf.dtype),
+            EsI=np.asarray(EsI, dtype=mf.dtype),
             EscX=np.asarray(EscX, dtype=mf.dtype),
             EFX=np.asarray(EFX, dtype=mf.dtype),
             fill_invden_X=np.asarray(fill_invden_X, dtype=mf.dtype),
@@ -1181,7 +1184,7 @@ class BrickLaplaceMM:
                 if "Ssub" in staged:
                     staged["Ssub"] = staged["Ssub"].astype(jnp.bfloat16)
                 staged["Es"] = staged["Es"].astype(jnp.bfloat16)
-                staged["EsX"] = staged["EsX"].astype(jnp.bfloat16)
+                staged["EsI"] = staged["EsI"].astype(jnp.bfloat16)
                 staged["EscX"] = staged["EscX"].astype(jnp.bfloat16)
                 staged["EFX"] = staged["EFX"].astype(jnp.bfloat16)
             self.arrays = staged
@@ -1395,20 +1398,24 @@ class BrickLaplaceMM:
         (which was the entire measured HN overhead of the constrained
         vmult)."""
         ns = self.n_surf  # static int
-        surfX = jnp.dot(v, a["EsX"].T, preferred_element_type=v.dtype)
-        surf = surfX[:, :ns]
+        surf = jnp.dot(v, a["Es"].T, preferred_element_type=v.dtype)
         surf_new = self._dss_surface(surf, a)
-        delta = jnp.concatenate(
-            [surf_new - surf, jnp.zeros_like(surfX[:, ns:])], axis=1
-        )
+        delta = surf_new - surf  # [nb, ns] — same width as the plain path
 
         # fill pass (restore the distributed invariant), exchange domain.
-        # (No node_valid masking needed first: hole-node values are ~0
-        # after the absent correction, and the fill reads entity rows of
-        # present cells only.)
+        # The interior extension (X nodes of straddling bricks) is read and
+        # written on the n_sub exceptional bricks ONLY — the global
+        # exchange pair stays at the plain path's width. (No node_valid
+        # masking needed first: hole-node values are ~0 after the absent
+        # correction, and the fill reads entity rows of present cells only.)
         if self._n_sub and a["hn_sub"].shape[0]:
-            inp = jnp.concatenate([surf_new, surfX[:, ns:]], axis=1)
-            inp_sub = jnp.take(inp, a["sub_ids"], axis=0)
+            v_sub = jnp.take(v, a["sub_ids"], axis=0)
+            parts = [jnp.take(surf_new, a["sub_ids"], axis=0)]
+            if self._nX:
+                parts.append(
+                    jnp.dot(v_sub, a["EsI"].T, preferred_element_type=v.dtype)
+                )
+            inp_sub = jnp.concatenate(parts, axis=1)  # [n_sub, ns + nX]
             C = self.bs.B**self.bs.dim
             cols2 = jnp.dot(
                 inp_sub, a["EscX"], preferred_element_type=v.dtype
@@ -1433,12 +1440,19 @@ class BrickLaplaceMM:
                 dcols.reshape(self._n_sub, -1), a["EFX"],
                 preferred_element_type=v.dtype,
             ) * a["fill_invden_X"]
-            delta = self._subset_scatter_add(delta, add, a)
+            # surface part rides the shared Es scatter-back; interior part
+            # expands on the subset only
+            delta = self._subset_scatter_add(delta, add[:, :ns], a)
+            if self._nX:
+                upd_int = jnp.dot(
+                    add[:, ns:], a["EsI"], preferred_element_type=v.dtype
+                )
+                v = self._subset_scatter_add(v, upd_int, a)
 
         # one shared scatter-back; hole-node masking fused here
         return jnp.where(
             a["node_valid"],
-            v + jnp.dot(delta, a["EsX"], preferred_element_type=v.dtype),
+            v + jnp.dot(delta, a["Es"], preferred_element_type=v.dtype),
             0.0,
         )
 

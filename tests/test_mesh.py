@@ -84,6 +84,7 @@ def test_native_fallback_matches_numpy(monkeypatch):
 
     monkeypatch.setattr(native, "balance_flags", lambda *a, **k: None)
     monkeypatch.setattr(native, "dof_unique", lambda *a, **k: None)
+    monkeypatch.setattr(native, "distribute_dofs", lambda *a, **k: None)
     for geo, dim, r in cases:
         t = mfhn.create_geometry(geo, dim, r)
         dh = DoFHandler(t, 3)
