@@ -235,25 +235,39 @@ class BrickStructure:
         self.hn_closure = closure  # [n_hn, n_loc]
 
         # ---- node -> dof maps --------------------------------------------
-        # brick node index of (cell slot, local lattice): per axis lc*p + il
+        # brick node index of (cell slot, local lattice): per axis lc*p + il.
+        # int32 throughout: node counts stay < 2^31, and these are the
+        # largest setup arrays — the host's fresh-page faults past ~9 GB
+        # run at ~20-40 MB/s (utils/hostmem.py), so bytes are the cost.
         cell_node_offsets = sum(
             lat[:, d][None, :] * NB**d for d in range(dim)
-        )  # [1, n_loc]
-        base = sum(lc[:, d] * p * NB**d for d in range(dim))  # [n_cells]
+        ).astype(np.int32)  # [1, n_loc]
+        base = sum(lc[:, d] * p * NB**d for d in range(dim)).astype(
+            np.int32
+        )  # [n_cells]
         self.cell_node_index = base[:, None] + cell_node_offsets  # [n_cells, n_loc]
 
         nnode = self.n_bricks * NB**dim
-        node_dof = np.full(nnode, -1, dtype=np.int64)
-        flat_nodes = brick_of_cell[:, None] * (NB**dim) + self.cell_node_index
-        node_dof[flat_nodes.ravel()] = np.asarray(mf.dof_handler.cell_dofs).ravel()
+        node_dof = np.full(nnode, -1, dtype=np.int32)
+        flat_nodes = (
+            brick_of_cell.astype(np.int32)[:, None] * np.int32(NB**dim)
+            + self.cell_node_index
+        )
+        node_dof[flat_nodes.ravel()] = np.asarray(
+            mf.dof_handler.cell_dofs, dtype=np.int32
+        ).ravel()
         self.node_dof = node_dof  # -1 at holes
         self.node_valid = node_dof >= 0
 
-        # per-dof owner node (first covering brick node) for to_dof_vector
-        order = np.argsort(node_dof, kind="stable")
-        nd_sorted = node_dof[order]
-        first = np.searchsorted(nd_sorted, np.arange(mf.n_dofs))
-        self.owner_node_of_dof = order[first]
+        # per-dof owner node (first covering brick node) for to_dof_vector:
+        # scatter node indices in DESCENDING order so the surviving write
+        # for each dof is its smallest covering node — replaces a full
+        # argsort+searchsorted over the node array (the dominant setup cost
+        # at nref>=8); the assert double-checks the scatter-order semantics.
+        idx = np.nonzero(self.node_valid)[0].astype(np.int64)
+        owner = np.empty(mf.n_dofs, dtype=np.int64)
+        owner[node_dof[idx[::-1]]] = idx[::-1]
+        self.owner_node_of_dof = owner
         assert (node_dof[self.owner_node_of_dof] == np.arange(mf.n_dofs)).all()
 
         hanging = mf.constraints.constrained_dof_marker()
@@ -1017,12 +1031,10 @@ class BrickLaplaceMM:
 
         # static fill coverage: how many hn-cell writers cover each node of a
         # subset brick (value-independent -> precomputed, replacing a dense
-        # one-hot matmul per vmult)
+        # one-hot matmul per vmult); computed below on the exchange
+        # positions only (the full [n_sub, N3p] form is ~1 GB at nref=8)
         hn_brick = (hn_sub // C).astype(np.int64)
         hn_slot = (hn_sub % C).astype(np.int64)
-        den = np.zeros((len(sub_ids), N3p))
-        np.add.at(den, (hn_brick[:, None], slot_idx[hn_slot]), 1.0)
-        fill_invden = np.where(den > 0, 1.0 / np.maximum(den, 1.0), 0.0)
         # Fill-on-the-exchange-vector operands. The fill touches only:
         #   writes — closure slots (constrained entity slots + vertex-contact
         #     corners; diff is provably zero elsewhere: folds/level-zeroing
@@ -1071,7 +1083,14 @@ class BrickLaplaceMM:
         EFX = np.zeros((C * n_loc, self.n_surfX))
         EFX[ksw, kpos[ksw]] = 1.0
         node_of_pos = np.concatenate([surf_idx, X_nodes]).astype(np.int64)
-        fill_invden_X = fill_invden[:, node_of_pos]
+        # fill coverage directly on exchange positions (writes land only on
+        # surfX nodes; anything else goes to a trash column and is dropped)
+        den_X = np.zeros((len(sub_ids), self.n_surfX + 1))
+        wp = pos_of_node[slot_idx[hn_slot]]  # [n_hn, n_loc]
+        wp = np.where(wp < 0, self.n_surfX, wp)
+        np.add.at(den_X, (hn_brick[:, None], wp), 1.0)
+        den_X = den_X[:, : self.n_surfX]
+        fill_invden_X = np.where(den_X > 0, 1.0 / np.maximum(den_X, 1.0), 0.0)
 
         # present/validity in subset cols numbering
         present_sub = bs.present.reshape(bs.n_bricks, C)[sub_ids].reshape(-1)

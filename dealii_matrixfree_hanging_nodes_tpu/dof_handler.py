@@ -140,10 +140,17 @@ class DoFHandler:
         h = tria.cell_size()
         lower = tria.cell_lower()
         pts = np.zeros((self.n_dofs, dim))
-        # per-cell node coordinates; later writers overwrite with identical values
+        # per-cell node coordinates; later writers overwrite with identical
+        # values. Chunked: the full coords array is n_cells*n_loc*dim
+        # doubles (6.3 GB at quadrant nref=8) — far past the host's fast-
+        # fault window (utils/hostmem.py) — while fixed-size chunks reuse
+        # the same pages.
         loc = nodes[self._lat]  # [n_loc, dim] in unit cell
-        coords = lower[:, None, :] + h[:, None, None] * loc[None, :, :]
-        pts[self.cell_dofs.ravel()] = coords.reshape(-1, dim)
+        step = max(1, 50_000_000 // loc.shape[0])
+        for s in range(0, tria.n_active_cells, step):
+            e = min(s + step, tria.n_active_cells)
+            coords = lower[s:e, None, :] + h[s:e, None, None] * loc[None, :, :]
+            pts[self.cell_dofs[s:e].ravel()] = coords.reshape(-1, dim)
         return pts
 
     def boundary_dofs(self) -> np.ndarray:

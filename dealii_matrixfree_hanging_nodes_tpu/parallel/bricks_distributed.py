@@ -12,18 +12,30 @@ brick layout instead of per-cell gather/scatter:
   corrections are embarrassingly brick-local: zero communication;
 - cross-brick direct-stiffness summation splits interface pools into
   device-INTERNAL pools (summed locally, no traffic) and BOUNDARY pools
-  (only pools whose touching bricks span devices) exchanged with one psum
-  of an interface-sized buffer — the partitioner-ghost-exchange analog
-  (LinearAlgebra::distributed::Vector semantics, benchmark_02.cc:164-165);
+  (only pools whose touching bricks span devices) — the
+  partitioner-ghost-exchange analog (LinearAlgebra::distributed::Vector
+  semantics, benchmark_02.cc:164-165);
 - the hanging-node constraint chain (HN^T, chained coarse-fine folds, fill)
   couples only "chain cells" (constrained cells + their coarse fold
-  destinations). Their cols rows are all_gathered into one replicated
-  compact buffer, the chain runs redundantly on every device (tiny
-  mask-grouped matmuls), and each device scatters the delta rows of its own
-  cells back into its slab. Traffic: O(n_chain_rows), independent of mesh
-  volume.
+  destinations).
 
-All collectives (all_gather, psum) ride ICI under shard_map; the
+Two exchange modes:
+
+- ``exchange="halo"`` (default): NEIGHBOR-WISE, the analog of the
+  reference partitioner's ghost-index-only point-to-point exchange
+  (benchmark_02.cc:136-165). Boundary-pool partial sums travel in ONE
+  pairwise ``all_to_all`` whose per-pair payload is exactly the interface
+  the two ranks share; chain rows travel in a second pairwise
+  ``all_to_all`` delivering only the rows each rank actually needs (the
+  connected component of the fold/fill transfer graph that touches its
+  own cells), and the chain then runs on that per-rank compact subset.
+  Traffic per rank = its geometric interface + its chain-component halo.
+- ``exchange="replicated"``: boundary pools are psum'd globally and the
+  chain block is all_gathered and run redundantly on every device. Kept
+  as the round-2 baseline and as a cross-check oracle; it does not scale
+  past a few chips (ghost volume grows with the GLOBAL constraint count).
+
+All collectives ride ICI under shard_map; the
 `perform_communication=False` ablation elides them like the reference's
 no-comm mode (benchmark_02.cc:204-209).
 """
@@ -64,11 +76,17 @@ class DistributedBrickLaplace:
         perform_communication: bool = True,
         axis_name: str = "bricks",
         matmul_precision: str = "high",
+        exchange: str = "halo",
     ):
         """weights: optional per-CELL weights (reference's
-        hanging_nodes_weighting form); brick weight = sum over its cells."""
+        hanging_nodes_weighting form); brick weight = sum over its cells.
+        exchange: "halo" (neighbor-wise pairwise all_to_all, default) or
+        "replicated" (global psum / all_gather baseline)."""
+        if exchange not in ("halo", "replicated"):
+            raise ValueError(f"unknown exchange mode {exchange!r}")
         self.mf = mf
         self.axis_name = axis_name
+        self.exchange = exchange
         self.perform_communication = perform_communication
         self._precision = matmul_precision
         devices = devices if devices is not None else jax.devices()
@@ -312,6 +330,9 @@ class DistributedBrickLaplace:
             fill_invden_r[r] = np.where(den > 0, 1.0 / np.maximum(den, 1.0), 0.0)
 
         self.has_chain = len(chain_cells_g) > 0 and len(xfer) > 0
+        self._chain_cells_g = chain_cells_g
+        self._chain_r = chain_r
+        self._rank_of_chain = rank_of_chain
 
         # ghost/import statistics (benchmark_02.cc:136-165 analog): per rank,
         # boundary-pool values exchanged with other ranks plus remote chain
@@ -365,15 +386,373 @@ class DistributedBrickLaplace:
             transfers=groups_g,
             level_zero=level_zero_g,
         )
+        if self.exchange == "halo":
+            self._build_halo()
         self._staged = False
+
+    # ------------------------------------------------------------- halo plan
+    def _build_halo(self):
+        """Neighbor-wise exchange plan (the analog of the reference
+        partitioner's ghost-index-only point-to-point exchange,
+        benchmark_02.cc:136-165).
+
+        DSS: each rank accumulates PARTIAL sums of the boundary pools its
+        bricks touch into a compact local buffer; one pairwise all_to_all
+        sends each other rank exactly the pools both touch, and adding the
+        received partials completes every touched pool locally. A pool
+        touched by >2 ranks works the same way — every toucher sends its
+        partial to every other toucher. The send and receive positions of a
+        pair coincide (both sides enumerate the shared pools in global-id
+        order), so one index table serves both directions.
+
+        Chain: the fold/fill transfer graph splits into small connected
+        components; need(r) = the union of components containing r's own
+        chain cells. Rows of remote needed cells arrive via one pairwise
+        all_to_all per phase, and the chain runs on the per-rank compact
+        buffer using the data-driven masked HN kernel (same math as the
+        replicated composite-matmul path, just order-free)."""
+        mm, R = self.mm, self.n_ranks
+        bs = mm.bs
+        dim, NB = bs.dim, bs.NB
+        C = bs.B**dim
+        dt = self.mf.dtype
+        nb_max = self.nb_max
+        rank_of_brick = self.rank_of_brick
+
+        # ---- DSS pool halo ------------------------------------------------
+        fsize = (NB - 2) ** (dim - 1)
+        esize = NB - 2 if dim == 3 else 0
+        classes = [("fp", bs.face_pool_id, bs.n_face_pools, fsize)]
+        if dim == 3:
+            classes.append(("ep", bs.edge_pool_id, bs.n_edge_pools, esize))
+        classes.append(("cp", bs.corner_pool_id, bs.n_corner_pools, 1))
+
+        touched = {}
+        ntouch = {}
+        halo_dev = {}
+        for name, pid, n_pools, size in classes:
+            rk = np.repeat(rank_of_brick, pid.shape[1])
+            upr = np.unique(
+                np.stack([pid.reshape(-1), rk], axis=1), axis=0
+            )
+            cnt = np.bincount(upr[:, 0], minlength=n_pools)
+            is_bnd = cnt > 1
+            per_rank = []
+            for r in range(R):
+                pl = np.sort(upr[upr[:, 1] == r, 0])
+                per_rank.append(pl[is_bnd[pl]])
+            touched[name] = per_rank
+            nt = max(max((len(p) for p in per_rank), default=0), 1)
+            ntouch[name] = nt
+            bl = np.full((R, nb_max, pid.shape[1]), nt, np.int32)
+            for r in range(R):
+                pl = per_rank[r]
+                pids = pid[self.bricks_r[r]]
+                loc = np.full(pids.shape, nt, np.int32)
+                bmask = is_bnd[pids]
+                if bmask.any():
+                    loc[bmask] = np.searchsorted(pl, pids[bmask]).astype(
+                        np.int32
+                    )
+                bl[r, : len(self.bricks_r[r])] = loc
+            halo_dev[name + "_loc"] = bl
+        self._halo_ntouch = ntouch
+
+        # flat scalar layout: faces | [edges] | corners | trash
+        sizes = {name: size for name, _, _, size in classes}
+        offs = {}
+        off = 0
+        for name, _, _, size in classes:
+            offs[name] = off
+            off += ntouch[name] * size
+        n_flat = off
+        self._halo_nflat = n_flat
+
+        pair_scal = [[None] * R for _ in range(R)]
+        for r in range(R):
+            for s in range(R):
+                if s == r:
+                    pair_scal[r][s] = np.zeros(0, np.int64)
+                    continue
+                pieces = []
+                for name, _, _, size in classes:
+                    shared = np.intersect1d(touched[name][r], touched[name][s])
+                    if len(shared):
+                        loc = np.searchsorted(touched[name][r], shared)
+                        pos = (
+                            offs[name]
+                            + (loc[:, None] * size + np.arange(size)[None, :])
+                        ).reshape(-1)
+                        pieces.append(pos)
+                pair_scal[r][s] = (
+                    np.concatenate(pieces) if pieces else np.zeros(0, np.int64)
+                )
+        max_pair = max(
+            max((len(pair_scal[r][s]) for s in range(R)) , default=1)
+            for r in range(R)
+        )
+        max_pair = max(max_pair, 1)
+        dsend_idx = np.full((R, R, max_pair), n_flat, np.int32)
+        dsend_valid = np.zeros((R, R, max_pair), dtype=dt)
+        for r in range(R):
+            for s in range(R):
+                ps = pair_scal[r][s]
+                dsend_idx[r, s, : len(ps)] = ps
+                dsend_valid[r, s, : len(ps)] = 1.0
+        halo_dev["dsend_idx"] = dsend_idx
+        halo_dev["dsend_valid"] = dsend_valid
+
+        # halo ghost/import statistics (scalars exchanged, per rank)
+        n_ghost = np.array(
+            [sum(len(pair_scal[r][s]) for s in range(R)) for r in range(R)],
+            dtype=np.int64,
+        )
+        n_import = n_ghost.copy()  # DSS exchange is symmetric
+        self.n_ghost_dss = n_ghost.copy()
+
+        # ---- chain halo ---------------------------------------------------
+        # Direction-split need sets (NOT whole graph components — a
+        # component contains all siblings folding into a shared coarse
+        # cell, which a rank never reads): the FOLD phase needs the
+        # descendants whose values flow into own rows (backward
+        # reachability from own cells through fine->coarse edges); the
+        # FILL phase needs the ancestors whose values flow into own xfer
+        # rows (backward reachability through coarse->fine edges).
+        n = bs.p + 1
+        n_loc = n**dim
+        if self.has_chain:
+            from scipy.sparse import csr_matrix
+
+            lin_list = self._chain_cells_g
+            nch = len(lin_list)
+            idx_of = {int(l): i for i, l in enumerate(lin_list)}
+            levels = self._levels
+            xfer_n = len(bs.hn_lin)  # chain idx 0..xfer_n-1 are xfer cells
+            xfer_levels = np.asarray(self.mf.tria.level[bs.xfer_cells])
+            rank_of = self._rank_of_chain
+            own_idx = [np.nonzero(rank_of == r)[0] for r in range(R)]
+            own_pos_of_idx = np.zeros((R, nch), np.int64)
+            for r in range(R):
+                own_pos_of_idx[r, own_idx[r]] = np.arange(len(own_idx[r]))
+            n_own_max = self.n_chain_max
+
+            # replicated per-level T stacks + group index lists
+            T_halo = {}
+            gidx_by_level = {}
+            for lv in levels:
+                gl = [g for g in bs.transfer_groups if g.level == lv]
+                Ts = np.zeros((len(gl), n_loc, n_loc), dtype=dt)
+                fidx, cidx = [], []
+                for gi, g in enumerate(gl):
+                    T = np.zeros((n_loc, n_loc))
+                    T[g.src_slots, g.dst_slots] = 1.0
+                    Ts[gi] = T
+                    fidx.append(np.asarray(
+                        [idx_of[int(x)] for x in g.fine_cells], np.int64
+                    ))
+                    cidx.append(np.asarray(
+                        [idx_of[int(x)] for x in g.coarse_cells], np.int64
+                    ))
+                T_halo[lv] = Ts
+                gidx_by_level[lv] = (fidx, cidx)
+            self._rep["T_halo"] = T_halo
+
+            # fold DAG: values flow fine -> coarse; M[f, c] = 1
+            ef_all = np.concatenate(
+                [gidx_by_level[lv][0][gi]
+                 for lv in levels for gi in range(len(gidx_by_level[lv][0]))]
+            )
+            ec_all = np.concatenate(
+                [gidx_by_level[lv][1][gi]
+                 for lv in levels for gi in range(len(gidx_by_level[lv][1]))]
+            )
+            M = csr_matrix(
+                (np.ones(len(ef_all)), (ef_all, ec_all)), shape=(nch, nch)
+            )
+            Mt = M.T.tocsr()
+
+            def pred_closure(M_, start):
+                S = start.copy()
+                while True:
+                    newS = S | ((M_ @ S) > 0)
+                    if (newS == S).all():
+                        return newS
+                    S = newS
+
+            def chain_tables(tag, in_need, keep_by, slot_mask):
+                """Per-rank chain tables in this phase's need numbering.
+                keep_by: an entry is processed by rank r iff its 'coarse'
+                (fold) / 'fine' (fill) row is in r's need set; the other
+                endpoint is then needed by closure. slot_mask [nch, n_loc]:
+                the static set of slots of each row that any consumer ever
+                reads (fold: union of entity src slots, post-HN^T; fill:
+                union of mirror dst slots) — ONLY these scalars are
+                exchanged, the ghost analog of the reference partitioner's
+                per-dof ghost index lists."""
+                need_remote = [
+                    np.nonzero(in_need[r] & (rank_of != r))[0] for r in range(R)
+                ]
+                n_rem_max = max(
+                    max((len(x) for x in need_remote), default=0), 1
+                )
+                N_need = n_own_max + n_rem_max  # trash row = N_need
+                pos = np.full((R, nch), N_need, np.int64)
+                for r in range(R):
+                    pos[r, own_idx[r]] = np.arange(len(own_idx[r]))
+                    pos[r, need_remote[r]] = n_own_max + np.arange(
+                        len(need_remote[r])
+                    )
+                # pairwise scalar exchange: r sends s the read-slot values of
+                # its own cells in s's need set (global chain order)
+                cpx = [[np.zeros(0, np.int64)] * R for _ in range(R)]
+                for r in range(R):
+                    for s_ in range(R):
+                        if s_ != r:
+                            cpx[r][s_] = own_idx[r][in_need[s_][own_idx[r]]]
+                slot_list = [np.nonzero(slot_mask[i])[0] for i in range(nch)]
+                nsc = np.array([len(x) for x in slot_list], np.int64)
+                spair = max(
+                    max(
+                        max((int(nsc[cpx[r][s_]].sum()) for s_ in range(R)),
+                            default=1)
+                        for r in range(R)
+                    ),
+                    1,
+                )
+                send_scal = np.zeros((R, R, spair), np.int32)
+                send_scal_valid = np.zeros((R, R, spair), dtype=dt)
+                recv_scal = np.full((R, R, spair), N_need * n_loc, np.int32)
+                for r in range(R):
+                    for s_ in range(R):
+                        if s_ == r:
+                            continue
+                        # send side: positions in r's own-block flat buffer
+                        ss = np.concatenate(
+                            [own_pos_of_idx[r, f] * n_loc + slot_list[f]
+                             for f in cpx[r][s_]]
+                        ) if len(cpx[r][s_]) else np.zeros(0, np.int64)
+                        send_scal[r, s_, : len(ss)] = ss
+                        send_scal_valid[r, s_, : len(ss)] = 1.0
+                        # recv side: positions in r's need-buffer flat form
+                        rcv = cpx[s_][r]
+                        rr = np.concatenate(
+                            [pos[r, f] * n_loc + slot_list[f] for f in rcv]
+                        ) if len(rcv) else np.zeros(0, np.int64)
+                        recv_scal[r, s_, : len(rr)] = rr
+                # own-block HN masks (applied to the whole own block with the
+                # data-driven masked kernel; mask 0 rows pass through)
+                own_masks = np.zeros((R, n_own_max), np.int32)
+                own_is_xfer = np.zeros((R, n_own_max, 1), dtype=dt)
+                for r in range(R):
+                    ox = own_idx[r][own_idx[r] < xfer_n]
+                    own_masks[r, own_pos_of_idx[r, ox]] = bs.hn_masks[ox]
+                    own_is_xfer[r, own_pos_of_idx[r, ox]] = 1.0
+                # per-level batched transfers + level-zero rows
+                ctrans, clz = {}, {}
+                for lv in levels:
+                    fidx, cidx = gidx_by_level[lv]
+                    G = len(fidx)
+                    sel_per = [
+                        [
+                            np.nonzero(in_need[r][
+                                cidx[gi] if keep_by == "coarse" else fidx[gi]
+                            ])[0]
+                            for gi in range(G)
+                        ]
+                        for r in range(R)
+                    ]
+                    m_max = max(
+                        max((len(s2) for sr in sel_per for s2 in sr),
+                            default=0),
+                        1,
+                    )
+                    fine = np.full((R, G, m_max), N_need, np.int32)
+                    coarse = np.full((R, G, m_max), N_need, np.int32)
+                    tmask = np.zeros((R, G, m_max, 1), dtype=dt)
+                    for gi in range(G):
+                        for r in range(R):
+                            s2 = sel_per[r][gi]
+                            fine[r, gi, : len(s2)] = pos[r, fidx[gi][s2]]
+                            coarse[r, gi, : len(s2)] = pos[r, cidx[gi][s2]]
+                            tmask[r, gi, : len(s2)] = 1.0
+                    ctrans[lv] = dict(fine=fine, coarse=coarse, mask=tmask)
+                    lz_sel = [
+                        np.nonzero(
+                            in_need[r, :xfer_n] & (xfer_levels == lv)
+                        )[0]
+                        for r in range(R)
+                    ]
+                    z_max = max(max((len(s2) for s2 in lz_sel), default=0), 1)
+                    lz_pos = np.full((R, z_max), N_need, np.int32)
+                    lz_keep = np.zeros((R, z_max, n_loc), dtype=dt)
+                    for r in range(R):
+                        s2 = lz_sel[r]
+                        lz_pos[r, : len(s2)] = pos[r, s2]
+                        lz_keep[r, : len(s2)] = 1.0 - bs.hn_closure[
+                            s2
+                        ].astype(np.float64)
+                    clz[lv] = dict(pos=lz_pos, keep=lz_keep)
+                halo_dev[tag] = dict(
+                    send_scal=send_scal, send_scal_valid=send_scal_valid,
+                    recv_scal=recv_scal, own_masks=own_masks,
+                    own_is_xfer=own_is_xfer, ctrans=ctrans, clz=clz,
+                )
+                setattr(self, f"_halo_n_need_{tag}", N_need)
+                n_rem = np.array(
+                    [int(nsc[need_remote[r]].sum()) for r in range(R)],
+                    np.int64,
+                )
+                n_imp = np.array(
+                    [sum(int(nsc[cpx[r][s_]].sum()) for s_ in range(R))
+                     for r in range(R)],
+                    np.int64,
+                )
+                return n_rem, n_imp
+
+            in_need_fold = np.zeros((R, nch), dtype=bool)
+            in_need_fill = np.zeros((R, nch), dtype=bool)
+            for r in range(R):
+                start = np.zeros(nch, dtype=bool)
+                start[own_idx[r]] = True
+                in_need_fold[r] = pred_closure(M, start)
+                start2 = np.zeros(nch, dtype=bool)
+                start2[own_idx[r][own_idx[r] < xfer_n]] = True
+                S2 = pred_closure(Mt, start2)
+                S2[own_idx[r]] = True  # own rows always live in the buffer
+                in_need_fill[r] = S2
+
+            # static read-slot sets: fold consumers read the entity src
+            # slots of a fine row (post-HN^T); fill consumers read the
+            # mirror dst slots of a coarse row
+            fold_slots = np.zeros((nch, n_loc), dtype=bool)
+            fill_slots = np.zeros((nch, n_loc), dtype=bool)
+            for lv in levels:
+                fidx, cidx = gidx_by_level[lv]
+                gl = [g for g in bs.transfer_groups if g.level == lv]
+                for gi, g in enumerate(gl):
+                    fold_slots[np.ix_(fidx[gi], g.src_slots)] = True
+                    fill_slots[np.ix_(cidx[gi], g.dst_slots)] = True
+
+            g_fold, i_fold = chain_tables(
+                "fold", in_need_fold, "coarse", fold_slots
+            )
+            g_fill, i_fill = chain_tables(
+                "fill", in_need_fill, "fine", fill_slots
+            )
+            self.n_ghost_chain = g_fold + g_fill
+            n_ghost += self.n_ghost_chain
+            n_import += i_fold + i_fill
+
+        self._dev.update(halo_dev)
+        self.n_ghost = n_ghost
+        self.n_import = n_import
 
     def _stage(self):
         if not self._staged:
             spec = NamedSharding(self.mesh, P(self.axis_name))
-            self._dev_s = {
-                k: jax.device_put(jnp.asarray(v), spec)
-                for k, v in self._dev.items()
-            }
+            self._dev_s = jax.device_put(
+                jax.tree.map(jnp.asarray, self._dev), spec
+            )
             rep = NamedSharding(self.mesh, P())
             self._rep_s = jax.device_put(
                 jax.tree.map(jnp.asarray, self._rep), rep
@@ -436,6 +815,158 @@ class DistributedBrickLaplace:
         )
         return jnp.concatenate(parts, axis=1)
 
+    def _dss_local_halo(self, surf, d):
+        """Neighbor-wise DSS: internal pools locally; each TOUCHED boundary
+        pool's partial sum is exchanged pairwise with exactly the ranks that
+        share it (one all_to_all of flat scalars), then read back."""
+        bs = self.mm.bs
+        dim, NB = bs.dim, bs.NB
+        nb = surf.shape[0]
+        ax = self.axis_name
+        comm = self.perform_communication
+        nf = 2 * dim
+        fsize = (NB - 2) ** (dim - 1)
+        esize = NB - 2 if dim == 3 else 0
+        nt = self._halo_ntouch
+
+        def accum(block, int_id, bnd_loc, flag, n_int, n_touch, size):
+            flat = block.reshape(-1, size)
+            w_int = (1.0 - flag.reshape(-1, 1)) * flat
+            w_bnd = flag.reshape(-1, 1) * flat
+            ipool = jnp.zeros((n_int, size), surf.dtype)
+            ipool = ipool.at[int_id.reshape(-1)].add(w_int)
+            bpool = jnp.zeros((n_touch + 1, size), surf.dtype)
+            bpool = bpool.at[bnd_loc.reshape(-1)].add(w_bnd)
+            return ipool, bpool
+
+        fblock = surf[:, : nf * fsize].reshape(nb, nf, fsize)
+        fi, fb = accum(fblock, d["fp_int"], d["fp_loc"], d["fp_flag"],
+                       self.pools_f["n_int"], nt["fp"], fsize)
+        flat_parts = [fb[: nt["fp"]].reshape(-1)]
+        off = nf * fsize
+        if dim == 3:
+            eblock = surf[:, off : off + 12 * esize].reshape(nb, 12, esize)
+            ei, eb = accum(eblock, d["ep_int"], d["ep_loc"], d["ep_flag"],
+                           self.pools_e["n_int"], nt["ep"], esize)
+            flat_parts.append(eb[: nt["ep"]].reshape(-1))
+            off += 12 * esize
+        ncorner = 2**dim
+        cblock = surf[:, off : off + ncorner].reshape(nb, ncorner, 1)
+        ci, cb = accum(cblock, d["cp_int"], d["cp_loc"], d["cp_flag"],
+                       self.pools_c["n_int"], nt["cp"], 1)
+        flat_parts.append(cb[: nt["cp"]].reshape(-1))
+        flat_parts.append(jnp.zeros((1,), surf.dtype))  # trash scalar
+        bflat = jnp.concatenate(flat_parts)
+
+        send = bflat[d["dsend_idx"]] * d["dsend_valid"]  # [R, max_pair]
+        if comm:
+            recv = jax.lax.all_to_all(
+                send, ax, split_axis=0, concat_axis=0, tiled=False
+            )
+        else:
+            recv = send  # same-shape, collective elided (timing ablation)
+        bflat = bflat.at[d["dsend_idx"].reshape(-1)].add(
+            (recv * d["dsend_valid"]).reshape(-1)
+        )
+
+        def read(ipool, int_id, bnd_loc, flag, base, n_touch, size, k):
+            bpool = jnp.concatenate(
+                [
+                    jax.lax.slice(bflat, (base,), (base + n_touch * size,))
+                    .reshape(n_touch, size),
+                    jnp.zeros((1, size), surf.dtype),  # trash row (pad reads)
+                ]
+            )
+            new = jnp.where(
+                flag.reshape(-1, 1) > 0,
+                bpool[bnd_loc.reshape(-1)],
+                ipool[int_id.reshape(-1)],
+            )
+            return new.reshape(nb, k * size)
+
+        parts = [
+            read(fi, d["fp_int"], d["fp_loc"], d["fp_flag"], 0, nt["fp"],
+                 fsize, nf)
+        ]
+        base = nt["fp"] * fsize
+        if dim == 3:
+            parts.append(
+                read(ei, d["ep_int"], d["ep_loc"], d["ep_flag"], base,
+                     nt["ep"], esize, 12)
+            )
+            base += nt["ep"] * esize
+        parts.append(
+            read(ci, d["cp_int"], d["cp_loc"], d["cp_flag"], base, nt["cp"],
+                 1, ncorner)
+        )
+        return jnp.concatenate(parts, axis=1)
+
+    # --------------------------------------------------------- chain (halo)
+    def _chain_exchange(self, block, t, N_need):
+        """Own chain-cell rows -> per-rank need buffer [N_need+1, n_loc].
+        Own rows sit in the leading block; ONLY the static read-slot
+        scalars of remote needed rows travel, in one pairwise all_to_all
+        (the ghost-dof-list analog; remaining slots of remote rows are
+        zero and provably never read)."""
+        R = self.n_ranks
+        n_own_max = self.n_chain_max
+        n_loc = block.shape[1]
+        bflat = block.reshape(-1)
+        send = bflat[t["send_scal"]] * t["send_scal_valid"]  # [R, spair]
+        if self.perform_communication:
+            recv = jax.lax.all_to_all(
+                send, self.axis_name, split_axis=0, concat_axis=0, tiled=False
+            )
+        else:
+            recv = send
+        buf = jnp.zeros(((N_need + 1) * n_loc,), block.dtype)
+        buf = buf.at[t["recv_scal"].reshape(-1)].set(recv.reshape(-1))
+        buf = buf.reshape(N_need + 1, n_loc)
+        return buf.at[:n_own_max].set(block)
+
+    def _chain_fold_halo(self, buf, t, rep, a):
+        """Chained folds (finest level first) on the need buffer. HN^T has
+        already been applied to the own block BEFORE the exchange (remote
+        rows arrive post-HN^T from their owners)."""
+        for lv in sorted(self._levels, reverse=True):
+            tb = t["ctrans"][lv]
+            lz = t["clz"][lv]
+            zeroed = jnp.take(buf, lz["pos"], axis=0) * lz["keep"]
+            G, m = tb["fine"].shape
+            sel = jnp.take(buf, tb["fine"].reshape(-1), axis=0).reshape(
+                G, m, -1
+            )
+            out = jnp.einsum(
+                "gmi,gij->gmj", sel, rep["T_halo"][lv],
+                preferred_element_type=buf.dtype,
+            ) * tb["mask"]
+            buf = buf.at[tb["coarse"].reshape(-1)].add(
+                out.reshape(G * m, -1)
+            )
+            buf = buf.at[lz["pos"]].set(zeroed)
+        return buf
+
+    def _chain_fill_halo(self, buf, t, rep, a):
+        """Level-zeroing + chained fills (coarsest first) on the need
+        buffer; forward HN runs on the own block only (deltas are
+        extracted at own xfer rows)."""
+        for lv in sorted(self._levels):
+            tb = t["ctrans"][lv]
+            lz = t["clz"][lv]
+            buf = buf.at[lz["pos"]].set(
+                jnp.take(buf, lz["pos"], axis=0) * lz["keep"]
+            )
+            G, m = tb["fine"].shape
+            sel = jnp.take(buf, tb["coarse"].reshape(-1), axis=0).reshape(
+                G, m, -1
+            )
+            out = jnp.einsum(
+                "gmi,gji->gmj", sel, rep["T_halo"][lv],
+                preferred_element_type=buf.dtype,
+            ) * tb["mask"]
+            buf = buf.at[tb["fine"].reshape(-1)].add(out.reshape(G * m, -1))
+        return buf
+
     # ------------------------------------------------------------------ step
     def _build_step(self):
         mm = self.mm
@@ -444,6 +975,7 @@ class DistributedBrickLaplace:
         comm = self.perform_communication
         n_chain_max = self.n_chain_max
         R = self.n_ranks
+        halo = self.exchange == "halo"
 
         def step(bv, d, rep, a):
             # bv [1, nb_max, N3p] local slab; squeeze the mesh axis
@@ -460,7 +992,23 @@ class DistributedBrickLaplace:
             # absent (hole) cells contribute nothing: local zeroing
             final = plain * d["absent_keep"]
             dcols = final - plain
-            if self.has_chain:
+            if self.has_chain and halo:
+                # neighbor-wise: HN^T on the own block, then a pairwise
+                # exchange of the static read-slot scalars, then the folds
+                from ..ops.hanging_nodes import apply_hanging_node_constraints
+
+                block = jnp.take(final, d["chain_src"], axis=0) * d["chain_valid"]
+                tf = d["fold"]
+                block_hn = apply_hanging_node_constraints(
+                    block, tf["own_masks"], a["P"], mm.bs.dim, True
+                )
+                buf = self._chain_exchange(
+                    block_hn, tf, self._halo_n_need_fold
+                )
+                buf = self._chain_fold_halo(buf, tf, rep, a)
+                delta = buf[:n_chain_max] - block  # includes the HN^T change
+                dcols = dcols.at[d["chain_src"]].add(delta * d["chain_valid"])
+            elif self.has_chain:
                 # compact chain rows -> replicated buffer (the only volume
                 # exchange; device-major gids match all_gather layout)
                 block = jnp.take(final, d["chain_src"], axis=0) * d["chain_valid"]
@@ -497,9 +1045,13 @@ class DistributedBrickLaplace:
             v = v + jnp.dot(d["Ssub"], mm._scatter_cols(dcols, a),
                             preferred_element_type=bv.dtype)
 
-            # 3) cross-brick DSS: internal pools local, boundary pools psum'd
+            # 3) cross-brick DSS: internal pools local; boundary pools
+            #    pairwise (halo) or psum'd (replicated)
             surf = jnp.dot(v, a["Es"].T, preferred_element_type=bv.dtype)
-            surf_new = self._dss_local(surf, d)
+            if halo:
+                surf_new = self._dss_local_halo(surf, d)
+            else:
+                surf_new = self._dss_local(surf, d)
             v = jnp.where(
                 d["node_valid"],
                 v + jnp.dot(surf_new - surf, a["Es"],
@@ -508,7 +1060,32 @@ class DistributedBrickLaplace:
             )
 
             # 4) fill pass (restore the distributed-hanging invariant)
-            if self.has_chain:
+            if self.has_chain and halo:
+                v_sub = jnp.take(v, d["sub_ids"], axis=0)
+                cols2_loc = mm._extract_cols(v_sub, a)
+                block2 = (
+                    jnp.take(cols2_loc, d["chain_src"], axis=0)
+                    * d["chain_valid"]
+                )
+                from ..ops.hanging_nodes import apply_hanging_node_constraints
+
+                tl = d["fill"]
+                buf2 = self._chain_exchange(
+                    block2, tl, self._halo_n_need_fill
+                )
+                buf2 = self._chain_fill_halo(buf2, tl, rep, a)
+                own_rows = buf2[:n_chain_max]
+                sub2 = apply_hanging_node_constraints(
+                    own_rows, tl["own_masks"], a["P"], mm.bs.dim, False
+                )
+                dblock = (sub2 - block2) * tl["own_is_xfer"]
+                dcols2 = jnp.zeros_like(cols2_loc).at[d["chain_src"]].add(
+                    dblock * d["chain_valid"]
+                )
+                num = mm._scatter_cols(dcols2, a)
+                v = v + jnp.dot(d["Ssub"], num * d["fill_invden"],
+                                preferred_element_type=bv.dtype)
+            elif self.has_chain:
                 v_sub = jnp.take(v, d["sub_ids"], axis=0)
                 cols2_loc = mm._extract_cols(v_sub, a)
                 block2 = (
