@@ -64,6 +64,8 @@ def run(
         assert n_hn_topo == mf.constraints.n_constrained_cells, (
             n_hn_topo, mf.constraints.n_constrained_cells,
         )
+        # interpolate BEFORE the brick build: it first-touches ~1 GB at
+        # nref=8 and fresh faults slow down as RSS grows (utils/hostmem.py)
         src_np = interpolate(mf.dof_handler)
         brick_op = None
         if engine == "bricks":

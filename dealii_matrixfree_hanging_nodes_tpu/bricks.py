@@ -239,23 +239,27 @@ class BrickStructure:
         # int32 throughout: node counts stay < 2^31, and these are the
         # largest setup arrays — the host's fresh-page faults past ~9 GB
         # run at ~20-40 MB/s (utils/hostmem.py), so bytes are the cost.
-        cell_node_offsets = sum(
+        self._cni_off = sum(
             lat[:, d][None, :] * NB**d for d in range(dim)
         ).astype(np.int32)  # [1, n_loc]
-        base = sum(lc[:, d] * p * NB**d for d in range(dim)).astype(
+        self._cni_base = sum(lc[:, d] * p * NB**d for d in range(dim)).astype(
             np.int32
         )  # [n_cells]
-        self.cell_node_index = base[:, None] + cell_node_offsets  # [n_cells, n_loc]
 
         nnode = self.n_bricks * NB**dim
         node_dof = np.full(nnode, -1, dtype=np.int32)
-        flat_nodes = (
-            brick_of_cell.astype(np.int32)[:, None] * np.int32(NB**dim)
-            + self.cell_node_index
-        )
-        node_dof[flat_nodes.ravel()] = np.asarray(
-            mf.dof_handler.cell_dofs, dtype=np.int32
-        ).ravel()
+        cd32 = np.asarray(mf.dof_handler.cell_dofs, dtype=np.int32)
+        bo32 = brick_of_cell.astype(np.int32)
+        # chunked: the full flat_nodes array is another [n_cells, n_loc]
+        # int32 (1 GB at nref=8); fixed-size chunks reuse the same pages
+        cstep = max(1, 40_000_000 // n_loc)
+        for s in range(0, tria.n_active_cells, cstep):
+            e = min(s + cstep, tria.n_active_cells)
+            fn_ = (
+                bo32[s:e, None] * np.int32(NB**dim)
+                + self.cell_node_index_range(s, e)
+            )
+            node_dof[fn_.ravel()] = cd32[s:e].ravel()
         self.node_dof = node_dof  # -1 at holes
         self.node_valid = node_dof >= 0
 
@@ -263,16 +267,29 @@ class BrickStructure:
         # scatter node indices in DESCENDING order so the surviving write
         # for each dof is its smallest covering node — replaces a full
         # argsort+searchsorted over the node array (the dominant setup cost
-        # at nref>=8); the assert double-checks the scatter-order semantics.
-        idx = np.nonzero(self.node_valid)[0].astype(np.int64)
-        owner = np.empty(mf.n_dofs, dtype=np.int64)
-        owner[node_dof[idx[::-1]]] = idx[::-1]
+        # at nref>=8). Chunked high-to-low so the low chunks' writes win;
+        # the sampled assert double-checks the scatter-order semantics.
+        odt = np.int32 if nnode <= np.iinfo(np.int32).max else np.int64
+        owner = np.empty(mf.n_dofs, dtype=odt)
+        nstep = 50_000_000  # nonzero()'s int64 result is the chunk's cost
+        for s in reversed(range(0, nnode, nstep)):
+            e = min(s + nstep, nnode)
+            nd = node_dof[s:e]
+            val = np.nonzero(nd >= 0)[0][::-1]
+            owner[nd[val]] = (val + s).astype(odt)
         self.owner_node_of_dof = owner
-        assert (node_dof[self.owner_node_of_dof] == np.arange(mf.n_dofs)).all()
+        samp = np.linspace(
+            0, mf.n_dofs - 1, num=min(mf.n_dofs, 1 << 20), dtype=np.int64
+        )
+        assert (node_dof[owner[samp]] == samp).all()
 
         hanging = mf.constraints.constrained_dof_marker()
         self.node_hanging = np.zeros(nnode, dtype=bool)
-        self.node_hanging[self.node_valid] = hanging[node_dof[self.node_valid]]
+        for s in range(0, nnode, nstep):
+            e = min(s + nstep, nnode)
+            nd = node_dof[s:e]
+            v = nd >= 0
+            self.node_hanging[s:e][v] = hanging[nd[v]]
         # dot-product weights: 1 at the owner node of each non-hanging dof
         wmask = np.zeros(nnode, dtype=bool)
         keep = ~hanging
@@ -283,6 +300,17 @@ class BrickStructure:
         self._build_pools()
         # ---- coarse-fine fold/fill transfer groups -----------------------
         self._build_transfers()
+
+    # ------------------------------------------------------------ node index
+    def cell_node_index_range(self, s, e):
+        """Brick node index of (cell slot, local lattice) for cells [s, e):
+        computed on demand — the full [n_cells, n_loc] array is ~1 GB at
+        nref=8 and the host's fresh-fault budget is the setup wall."""
+        return self._cni_base[s:e, None] + self._cni_off
+
+    @property
+    def cell_node_index(self):
+        return self.cell_node_index_range(0, len(self._cni_base))
 
     # ----------------------------------------------------------------- pools
     def _face_key(self, lvlb, bcb, d, side):
@@ -1213,14 +1241,19 @@ class BrickLaplaceMM:
     def from_dof_vector(self, u, to_device: bool = True):
         """to_device=False returns the host array — lets drivers do the
         NumPy-heavy conversion BEFORE the TPU backend initializes (host
-        NumPy slows ~50-100x afterwards; see CLAUDE.md landmines)."""
+        NumPy slows ~50-100x afterwards; see CLAUDE.md landmines).
+        Brick-chunked so only the [nb, N3p] result is materialized."""
         bs = self.bs
         u_dist = self.mf.constraints.distribute(np.asarray(u))
-        flat = np.zeros(bs.n_bricks * self.N3, dtype=self.mf.dtype)
-        flat[bs.node_valid] = u_dist[bs.node_dof[bs.node_valid]]
-        flat = flat.reshape(bs.n_bricks, self.N3)
         out = np.zeros((bs.n_bricks, self.N3p), dtype=self.mf.dtype)
-        out[:, : self.N3] = flat
+        bstep = max(1, 50_000_000 // self.N3)
+        for s in range(0, bs.n_bricks, bstep):
+            e = min(s + bstep, bs.n_bricks)
+            nd = bs.node_dof[s * self.N3 : e * self.N3]
+            v = nd >= 0
+            vals = np.zeros((e - s) * self.N3, dtype=self.mf.dtype)
+            vals[v] = u_dist[nd[v]]
+            out[s:e, : self.N3] = vals.reshape(e - s, self.N3)
         return jnp.asarray(out) if to_device else out
 
     def to_dof_vector(self, bv, zero_hanging=False):
@@ -1428,37 +1461,7 @@ class BrickLaplaceMM:
         # masking needed first: hole-node values are ~0 after the absent
         # correction, and the fill reads entity rows of present cells only.)
         if self._n_sub and a["hn_sub"].shape[0]:
-            v_sub = jnp.take(v, a["sub_ids"], axis=0)
-            parts = [jnp.take(surf_new, a["sub_ids"], axis=0)]
-            if self._nX:
-                parts.append(
-                    jnp.dot(v_sub, a["EsI"].T, preferred_element_type=v.dtype)
-                )
-            inp_sub = jnp.concatenate(parts, axis=1)  # [n_sub, ns + nX]
-            C = self.bs.B**self.bs.dim
-            cols2 = jnp.dot(
-                inp_sub, a["EscX"], preferred_element_type=v.dtype
-            ).reshape(self._n_sub * C, -1)
-            orig_rows = jnp.take(cols2, a["hn_sub"], axis=0)
-            for lv in sorted(self._levels):
-                lz = a["level_zero"][lv]
-                cols2 = cols2.at[lz["lin"]].set(
-                    jnp.take(cols2, lz["lin"], axis=0) * lz["keep"]
-                )
-                cols2 = self._fold_level(cols2, a["transfers_b"][lv], fill=True)
-            sub2 = self._hn_apply(
-                jnp.take(cols2, a["hn_sub"], axis=0), a, transpose=False
-            )
-            # node updates from changed (constrained) cells only; every
-            # covering writer holds the same value, so divide by the
-            # (static, precomputed) coverage count. diff is provably zero
-            # off the closure slots (fill writes = F positions only).
-            diff = sub2 - orig_rows
-            dcols = jnp.zeros_like(cols2).at[a["hn_sub"]].set(diff)
-            add = jnp.dot(
-                dcols.reshape(self._n_sub, -1), a["EFX"],
-                preferred_element_type=v.dtype,
-            ) * a["fill_invden_X"]
+            add = self._fill_updates(v, surf_new, a)
             # surface part rides the shared Es scatter-back; interior part
             # expands on the subset only
             delta = self._subset_scatter_add(delta, add[:, :ns], a)
@@ -1474,6 +1477,75 @@ class BrickLaplaceMM:
             v + jnp.dot(delta, a["Es"], preferred_element_type=v.dtype),
             0.0,
         )
+
+    def _fill_updates(self, v, surf_vals, a):
+        """Exchange-domain fill updates: read the subset bricks' exchange
+        values (surf_vals [nb, n_surf] — post-DSS inside vmult, the raw
+        surface extraction in the standalone refill) plus the interior X
+        extension, run the fold/HN chain, and return the coverage-divided
+        closure-slot updates [n_sub, n_surfX] (surface part first)."""
+        v_sub = jnp.take(v, a["sub_ids"], axis=0)
+        parts = [jnp.take(surf_vals, a["sub_ids"], axis=0)]
+        if self._nX:
+            parts.append(
+                jnp.dot(v_sub, a["EsI"].T, preferred_element_type=v.dtype)
+            )
+        inp_sub = jnp.concatenate(parts, axis=1)  # [n_sub, ns + nX]
+        C = self.bs.B**self.bs.dim
+        cols2 = jnp.dot(
+            inp_sub, a["EscX"], preferred_element_type=v.dtype
+        ).reshape(self._n_sub * C, -1)
+        orig_rows = jnp.take(cols2, a["hn_sub"], axis=0)
+        for lv in sorted(self._levels):
+            lz = a["level_zero"][lv]
+            cols2 = cols2.at[lz["lin"]].set(
+                jnp.take(cols2, lz["lin"], axis=0) * lz["keep"]
+            )
+            cols2 = self._fold_level(cols2, a["transfers_b"][lv], fill=True)
+        sub2 = self._hn_apply(
+            jnp.take(cols2, a["hn_sub"], axis=0), a, transpose=False
+        )
+        # node updates from changed (constrained) cells only; every
+        # covering writer holds the same value, so divide by the
+        # (static, precomputed) coverage count. diff is provably zero
+        # off the closure slots (fill writes = F positions only).
+        diff = sub2 - orig_rows
+        dcols = jnp.zeros_like(cols2).at[a["hn_sub"]].set(diff)
+        return jnp.dot(
+            dcols.reshape(self._n_sub, -1), a["EFX"],
+            preferred_element_type=v.dtype,
+        ) * a["fill_invden_X"]
+
+    def _refill_impl(self, v, a):
+        """Restore the hanging-node invariant of a brick vector whose
+        conforming copies already agree: recompute every hanging closure
+        copy from its (possibly multi-level) master values. Same chain as
+        the vmult fill pass, reading the vector's own surface values (no
+        DSS). Used by the Dirichlet mask / diagonal scaling of the GMG
+        stack, whose pointwise operations break only the hanging copies."""
+        if not (self._n_sub and a["hn_sub"].shape[0]):
+            return v
+        ns = self.n_surf
+        surf = jnp.dot(v, a["Es"].T, preferred_element_type=v.dtype)
+        add = self._fill_updates(v, surf, a)
+        dsurf = self._subset_scatter_add(
+            jnp.zeros_like(surf), add[:, :ns], a
+        )
+        v = v + jnp.dot(dsurf, a["Es"], preferred_element_type=v.dtype)
+        if self._nX:
+            upd_int = jnp.dot(
+                add[:, ns:], a["EsI"], preferred_element_type=v.dtype
+            )
+            v = self._subset_scatter_add(v, upd_int, a)
+        return jnp.where(a["node_valid"], v, 0.0)
+
+    def refill(self, bv):
+        prec = {"default": "default", "high": "tensorfloat32",
+                "highest": "highest"}.get(self._precision, self._precision)
+        if not hasattr(self, "_jit_refill"):
+            self._jit_refill = jax.jit(self._refill_impl)
+        with jax.default_matmul_precision(prec):
+            return self._jit_refill(bv, self._stage())
 
     def _vmult_plain_impl(self, bv, a):
         """Constraints-off vmult: main operator + hole (absent-cell)

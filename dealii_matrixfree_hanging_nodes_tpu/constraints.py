@@ -59,7 +59,7 @@ class ConstraintInfo:
     degree: int
     n_dofs: int
     masks: np.ndarray  # uint16 [n_cells]
-    cell_dofs_fast: np.ndarray  # int64 [n_cells, n_loc]
+    cell_dofs_fast: np.ndarray  # int32 [n_cells, n_loc]
     # slow path (CSR over constrained rows)
     slave_dofs: np.ndarray  # int64 [n_slaves]
     row_ptr: np.ndarray  # int64 [n_slaves + 1]

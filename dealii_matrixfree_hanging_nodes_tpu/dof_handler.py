@@ -41,7 +41,7 @@ class DoFHandler:
 
     Attributes
     ----------
-    cell_dofs : int64 [n_cells, n_loc]
+    cell_dofs : int32 [n_cells, n_loc]
         Global DoF indices per cell, lexicographic local ordering (x fastest).
     n_dofs : int
         Number of global DoFs (hanging DoFs included, as in deal.II).
@@ -61,16 +61,13 @@ class DoFHandler:
         n_cells = tria.n_active_cells
         n_loc = n**dim
         lmax = int(tria.level.max())
-        # 17-bit coordinate / 19-bit marker fields per axis: coordinates need
-        # lmax+1 bits (finest-level grid has 2^lmax cells + the upper corner),
-        # markers need sz*(p+1)+ia < 2^19 with sz = 2^lmax. Enforce instead of
-        # silently overflowing into the neighboring field.
+        # per-entity-class packed keys (one int64): 16-bit coordinates per
+        # axis (lmax <= 15), 4-bit interior lattice indices (p <= 15), 4-bit
+        # level field. Enforce instead of silently overflowing.
         if lmax > 15:
             raise ValueError(f"DoFHandler supports at most 15 levels, got {lmax}")
-        if (np.int64(1) << lmax) * (p + 1) + p >= (np.int64(1) << 19):
-            raise ValueError(
-                f"entity-marker field overflow: degree {p} at {lmax} levels"
-            )
+        if p > 15:
+            raise ValueError(f"DoFHandler supports degree <= 15, got {p}")
 
         from . import native
 
@@ -82,50 +79,59 @@ class DoFHandler:
             self._lat = lat
             return
 
+        # NumPy fallback: EXACTLY the native per-class numbering (tested
+        # equal in test_mesh.py): every lattice node belongs to one of
+        # 2^dim classes by which axes are interior; vertices are shared
+        # purely by position across levels, interior entities only between
+        # equal-extent (same-level) entities.
         sz = (np.int64(1) << (lmax - tria.level)).astype(np.int64)  # [n_cells]
         base = tria.coord * sz[:, None]  # [n_cells, dim] lower corner @ lmax
 
-        # Per (cell, node, axis): coordinate + marker columns of the key.
-        key1 = np.zeros((n_cells, n_loc), dtype=np.int64)
-        key2 = np.zeros((n_cells, n_loc), dtype=np.int64)
+        interior_ax = (lat > 0) & (lat < p)  # [n_loc, dim]
+        cls_of_slot = np.zeros(n_loc, dtype=np.int64)
         for a in range(dim):
-            ia = lat[:, a][None, :]  # [1, n_loc]
-            base_a = base[:, a][:, None]  # [n_cells, 1]
-            sz_a = sz[:, None]
-            is_lo = ia == 0
-            is_hi = ia == p
-            interior = ~(is_lo | is_hi)
-            coord_a = base_a + np.where(is_hi, sz_a, 0)
-            coord_a = np.where(interior, base_a, coord_a)
-            # marker = sz*(p+1) + ia is collision-free across levels (ia < p+1,
-            # sz a power of two); the earlier sz*8+ia scheme aliased for
-            # degree >= 10 (e.g. sz=1,ia=9 vs sz=2,ia=1), silently merging
-            # distinct interior nodes.
-            marker_a = np.where(interior, sz_a * np.int64(p + 1) + ia, 0)
-            # NOTE: scalar shift operands must be np.int64 — NumPy 2.0's
-            # python-int promotion path is ~1000x slower on this host.
-            key1 = (key1 << np.int64(17)) | coord_a
-            key2 = (key2 << np.int64(19)) | marker_a
+            cls_of_slot |= interior_ax[:, a].astype(np.int64) << a
 
-        flat1, flat2 = key1.ravel(), key2.ravel()
-        from . import native
-
-        res = native.dof_unique(flat1, flat2)
-        if res is not None:
-            gids, n_dofs = res
-        else:
-            order = np.lexsort((flat2, flat1))
-            s1, s2 = flat1[order], flat2[order]
+        gids = np.empty((n_cells, n_loc), dtype=np.int32)
+        next_gid = 0
+        for cls in range(1 << dim):
+            slots = np.nonzero(cls_of_slot == cls)[0]
+            if not len(slots):
+                continue
+            key = np.zeros((n_cells, len(slots)), dtype=np.uint64)
+            iabits = np.zeros((n_cells, len(slots)), dtype=np.uint64)
+            for a in range(dim):
+                ia = lat[slots, a][None, :]  # [1, m]
+                is_hi = ia == p
+                inter = interior_ax[slots, a][None, :]
+                ca = base[:, a][:, None] + np.where(is_hi, sz[:, None], 0)
+                # NOTE: scalar shift operands must be np.uint64 — NumPy
+                # 2.0's python-int promotion path is ~1000x slower here.
+                key = (key << np.uint64(16)) | ca.astype(np.uint64)
+                iabits = (iabits << np.uint64(4)) | np.where(
+                    inter, ia, 0
+                ).astype(np.uint64)
+            key = (key << np.uint64(4 * dim)) | iabits
+            lvl_field = (
+                tria.level[:, None].astype(np.uint64)
+                if cls
+                else np.zeros((n_cells, 1), dtype=np.uint64)
+            )
+            key = (key << np.uint64(4)) | lvl_field
+            flat = key.ravel()
+            order = np.argsort(flat, kind="stable")
+            s1 = flat[order]
             new_group = np.empty(len(s1), dtype=bool)
             new_group[0] = True
-            new_group[1:] = (np.diff(s1) != 0) | (np.diff(s2) != 0)
-            gid_sorted = np.cumsum(new_group) - 1
-            gids = np.empty(len(flat1), dtype=np.int64)
-            gids[order] = gid_sorted
-            n_dofs = int(gid_sorted[-1]) + 1
+            new_group[1:] = np.diff(s1) != 0
+            gid_sorted = np.cumsum(new_group) - 1 + next_gid
+            cg = np.empty(len(flat), dtype=np.int32)
+            cg[order] = gid_sorted
+            gids[:, slots] = cg.reshape(n_cells, len(slots))
+            next_gid = int(gid_sorted[-1]) + 1
 
-        self.cell_dofs = gids.reshape(n_cells, n_loc)
-        self.n_dofs = n_dofs
+        self.cell_dofs = gids
+        self.n_dofs = next_gid
         self._lat = lat
 
     # ------------------------------------------------------------------
@@ -153,13 +159,39 @@ class DoFHandler:
             pts[self.cell_dofs[s:e].ravel()] = coords.reshape(-1, dim)
         return pts
 
+    def interpolate_values(self, fn) -> np.ndarray:
+        """fn(points[m, dim]) evaluated at every DoF support point, fused
+        with the chunked coordinate sweep of support_points() — only one
+        [n_dofs] output is materialized (the [n_dofs, dim] point array is
+        6.3 GB at quadrant nref=8, past the host's fast-fault window)."""
+        tria, dim = self.tria, self.dim
+        nodes = self.shape.nodes
+        h = tria.cell_size()
+        lower = tria.cell_lower()
+        out = np.zeros(self.n_dofs)
+        loc = nodes[self._lat]  # [n_loc, dim]
+        step = max(1, 50_000_000 // loc.shape[0])
+        for s in range(0, tria.n_active_cells, step):
+            e = min(s + step, tria.n_active_cells)
+            coords = lower[s:e, None, :] + h[s:e, None, None] * loc[None, :, :]
+            out[self.cell_dofs[s:e].ravel()] = fn(
+                coords.reshape(-1, dim)
+            ).ravel()
+        return out
+
     def boundary_dofs(self) -> np.ndarray:
-        """Global indices of DoFs on the domain boundary (for Dirichlet BCs)."""
-        pts = self.support_points()
+        """Global indices of DoFs on the domain boundary (for Dirichlet BCs).
+
+        Chunk-fused like interpolate_values: only the [n_dofs] bool marker
+        is materialized, not the support-point array."""
         tol = 1e-12
-        on_b = np.any(
-            (np.abs(pts - self.tria.left) < tol)
-            | (np.abs(pts - self.tria.right) < tol),
-            axis=1,
-        )
+        left, right = self.tria.left, self.tria.right
+
+        def _onb(pts):
+            return np.any(
+                (np.abs(pts - left) < tol) | (np.abs(pts - right) < tol),
+                axis=1,
+            )
+
+        on_b = self.interpolate_values(_onb) > 0
         return np.nonzero(on_b)[0]

@@ -61,8 +61,10 @@ class MatrixFree:
         self.n_cells = tria.n_active_cells
 
         masks = self.constraints.masks.astype(np.int32)
-        dofmap = self.constraints.cell_dofs_fast.astype(np.int32)
-        dofmap_plain = self.dof_handler.cell_dofs.astype(np.int32)
+        # asarray, not astype: cell maps are already int32 — a cast would
+        # copy 1 GB at nref=8 (host page faults are the setup wall)
+        dofmap = np.asarray(self.constraints.cell_dofs_fast, dtype=np.int32)
+        dofmap_plain = np.asarray(self.dof_handler.cell_dofs, dtype=np.int32)
         if high_order_mapping:
             geo = deformed_laplace_factors(tria, self.shape)
         else:

@@ -1,0 +1,348 @@
+"""Geometric multigrid on the brick engine (BASELINE row 4 at benchmark
+scale): the Chebyshev-smoothed global-coarsening V-cycle of
+models/multigrid.py with every level operator, smoother application, and
+transfer running in the flagship brick layout (bricks.BrickLaplaceMM) —
+the TPU analog of running the reference's solver stack entirely on its
+device matrix-free path (CUDAWrappers, benchmark_03.h:279-358).
+
+Key pieces:
+
+- ``BrickDirichletLaplace`` — homogeneous-Dirichlet Laplace on brick
+  vectors. Pointwise masking breaks the hanging-node invariant exactly at
+  constrained copies (an interior hanging node may interpolate from
+  boundary masters), so every mask is followed by ``BrickLaplaceMM.refill``
+  (the standalone fill chain).
+- ``BrickTransfer`` — prolongation runs entirely in brick layout:
+  cols extraction (conv patches) -> covering-coarse-row gather -> per-cell
+  subface embedding chains (batched einsum) -> one-writer-per-brick-node
+  scatter (the embedded coarse field is continuous, so every duplicate
+  copy receives the same value and fine hanging nodes receive exactly
+  their constraint interpolation: the invariant holds by construction, no
+  exchange needed). Restriction is the EXACT adjoint on the reduced DoF
+  space: jax.linear_transpose of the prolongation chain against the
+  owner-copy weights, pulled back to a coarse brick vector through the
+  (device-side) dof->brick embedding and its transpose.
+- ``BrickChebyshev`` — the diagonal-preconditioned Chebyshev smoother with
+  the refill hook after each diagonal scaling.
+- ``BrickGMGPreconditioner`` — the V-cycle; per-level diagonals come from
+  the index engine's exact probing (operator_diagonal), so iteration
+  counts match the index-engine GMG bit-for-bit in exact arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..bricks import BrickLaplaceMM
+from ..matrix_free import MatrixFree
+from ..mesh import create_geometry
+from .multigrid import covering_embedding, laplace_diagonal_host, solve_cg
+
+__all__ = [
+    "BrickDirichletLaplace",
+    "BrickTransfer",
+    "BrickChebyshev",
+    "BrickGMGPreconditioner",
+]
+
+
+# --------------------------------------------------------------------------
+class BrickDirichletLaplace:
+    """Laplace with homogeneous Dirichlet rows (identity there) on brick
+    vectors; SPD on the reduced space, the brick analog of
+    models.multigrid.DirichletLaplace."""
+
+    def __init__(self, mm: BrickLaplaceMM):
+        self.mm = mm
+        mf = mm.mf
+        bs = mm.bs
+        bd = mf.dof_handler.boundary_dofs()
+        bmark = np.zeros(mf.n_dofs, dtype=bool)
+        bmark[bd] = True
+        nb = np.zeros((bs.n_bricks, mm.N3p), dtype=mf.dtype)
+        nb[:, : mm.N3] = (
+            bmark[np.where(bs.node_dof >= 0, bs.node_dof, 0)]
+            & bs.node_valid
+        ).reshape(bs.n_bricks, mm.N3)
+        self.bd_mask = jnp.asarray(nb)
+        self.keep = 1.0 - self.bd_mask
+        self._bdofs = bd
+
+    def vmult(self, u):
+        mm = self.mm
+        w = mm.refill(u * self.keep)
+        v = mm.vmult(w)
+        return mm.refill(v * self.keep + u * self.bd_mask)
+
+    def project_rhs(self, b):
+        """Zero Dirichlet rows of a rhs (brick layout)."""
+        return self.mm.refill(b * self.keep)
+
+    # vector-space helpers delegate to the brick engine
+    def dot(self, u, v):
+        return self.mm.dot(u, v)
+
+
+# --------------------------------------------------------------------------
+class BrickTransfer:
+    """Brick-layout prolongation + exact-adjoint restriction between two
+    global-coarsening levels (each with its own BrickLaplaceMM)."""
+
+    def __init__(self, mm_c: BrickLaplaceMM, mm_f: BrickLaplaceMM):
+        self.mm_c, self.mm_f = mm_c, mm_f
+        mf_c, mf_f = mm_c.mf, mm_f.mf
+        bs_c, bs_f = mm_c.bs, mm_f.bs
+        dim = bs_f.dim
+        C_f = bs_f.B**dim
+        C_c = bs_c.B**dim
+        n = mf_f.degree + 1
+        n_loc = n**dim
+        dt = mf_f.dtype
+
+        cover, E = covering_embedding(mf_c, mf_f)
+
+        # fine (brick, slot) linear rows -> covering coarse linear rows
+        nlin_f = bs_f.n_bricks * C_f
+        cell_at_f = bs_f.cell_at  # [nlin_f] tria cell or -1
+        lin_c_of_cell = bs_c.cell_lin  # [n_cells_c]
+        src_lin = np.zeros(nlin_f, dtype=np.int32)
+        E_rows = np.broadcast_to(
+            np.eye(n, dtype=dt), (nlin_f, dim, n, n)
+        ).copy()
+        present = cell_at_f >= 0
+        fc = cell_at_f[present]
+        src_lin[present] = lin_c_of_cell[cover[fc]].astype(np.int32)
+        E_rows[present] = E[fc].astype(dt)
+
+        # one writer per fine brick node: (lin, slot) with the smallest
+        # linear id among the covering present cells of that node
+        nnode_f = bs_f.n_bricks * bs_f.NB**dim
+        writer = np.full(nnode_f, -1, dtype=np.int64)
+        flat_nodes = (
+            bs_f.brick_of_cell.astype(np.int64)[:, None] * (bs_f.NB**dim)
+            + bs_f.cell_node_index
+        )  # [n_cells_f, n_loc]
+        lin_of_cell = bs_f.cell_lin  # [n_cells_f]
+        order = np.argsort(-lin_of_cell, kind="stable")
+        writer[flat_nodes[order].ravel()] = (
+            lin_of_cell[order, None] * n_loc + np.arange(n_loc)[None, :]
+        ).ravel()
+        own = np.zeros(nlin_f * n_loc, dtype=bool)
+        own[writer[writer >= 0]] = True
+        own_w = own.reshape(nlin_f, n_loc).astype(dt)
+
+        self._dev = dict(
+            src_lin=jnp.asarray(src_lin),
+            E_rows=jnp.asarray(E_rows),
+            own_w=jnp.asarray(own_w),
+        )
+
+        # device-side dof -> coarse-brick embedding (S_c) for the adjoint
+        # pull-back; hanging values are re-derived from masters via the CSR
+        # distribute tables (small: n_hanging rows)
+        ci = mf_c.constraints
+        valid_idx = np.nonzero(bs_c.node_valid)[0]
+        self._sc = dict(
+            valid_idx=jnp.asarray(valid_idx.astype(np.int64)),
+            valid_dof=jnp.asarray(bs_c.node_dof[valid_idx].astype(np.int32)),
+            slave=jnp.asarray(ci.slave_dofs.astype(np.int32)),
+            row=jnp.asarray(
+                np.repeat(
+                    np.arange(len(ci.slave_dofs), dtype=np.int32),
+                    np.diff(ci.row_ptr),
+                )
+            ),
+            col=jnp.asarray(ci.col.astype(np.int32)),
+            w=jnp.asarray(ci.weight.astype(dt)),
+        )
+        self._nnode_c = bs_c.n_bricks * bs_c.NB**dim
+        self._n_dofs_c = mf_c.n_dofs
+        self._C_f, self._C_c, self._n_loc, self._dim = C_f, C_c, n_loc, dim
+        self._dt = dt
+
+        self._jit_prolongate = jax.jit(self._prolongate_impl)
+        self._jit_restrict = jax.jit(self._restrict_impl)
+
+    # -------------------------------------------------------------- impls
+    def _pb(self, xc_b, d, ac, af):
+        """brick_c -> brick_f prolongation chain (pure linear jax fn)."""
+        cols_c = self.mm_c._extract_cols(xc_b, ac)  # [nlin_c, n_loc]
+        u = jnp.take(cols_c, d["src_lin"], axis=0)  # [nlin_f, n_loc]
+        n = self.mm_f.bs.p + 1
+        dim = self._dim
+        v = u.reshape(u.shape[0], *([n] * dim))
+        for t in range(dim):
+            ax = v.ndim - 1 - t
+            v = jnp.moveaxis(v, ax, -1)
+            v = jnp.einsum(
+                "mij,m...j->m...i", d["E_rows"][:, t], v,
+                preferred_element_type=v.dtype,
+            )
+            v = jnp.moveaxis(v, -1, ax)
+        u = v.reshape(u.shape[0], -1) * d["own_w"]
+        return self.mm_f._scatter_cols(u, af)
+
+    def _sc_embed(self, x_dof, sc):
+        """dof vector -> coarse brick vector (device from_dof_vector):
+        distribute hanging rows from masters, then place at every node."""
+        x = x_dof
+        if int(sc["slave"].shape[0]):
+            upd = jax.ops.segment_sum(
+                sc["w"] * jnp.take(x, sc["col"]), sc["row"],
+                num_segments=int(sc["slave"].shape[0]),
+            )
+            # unique_indices: slave rows are distinct — keeps the scatter
+            # linear-transposable (jax.linear_transpose in _restrict_impl)
+            x = x.at[sc["slave"]].set(upd, unique_indices=True)
+        flat = jnp.zeros(self._nnode_c, x.dtype)
+        flat = flat.at[sc["valid_idx"]].set(
+            jnp.take(x, sc["valid_dof"]), unique_indices=True
+        )
+        nb_c = self.mm_c.bs.n_bricks
+        out = flat.reshape(nb_c, -1)
+        pad = self.mm_c.N3p - self.mm_c.N3
+        return jnp.pad(out, ((0, 0), (0, pad)))
+
+    def _prolongate_impl(self, xc_b, d, ac, af):
+        return self._pb(xc_b, d, ac, af)
+
+    def _restrict_impl(self, rf_b, d, ac, af, sc, wf):
+        """Exact adjoint on the reduced space: rc = S_c(S_c^T(P_b^T(W_f r)))."""
+        yw = rf_b * wf
+        zshape = jax.ShapeDtypeStruct(rf_b.shape, rf_b.dtype)
+        xc_shape = jax.ShapeDtypeStruct(
+            (self.mm_c.bs.n_bricks, self.mm_c.N3p), rf_b.dtype
+        )
+        (z,) = jax.linear_transpose(
+            lambda x: self._pb(x, d, ac, af), xc_shape
+        )(yw)
+        dof_shape = jax.ShapeDtypeStruct((self._n_dofs_c,), rf_b.dtype)
+        (rc_dof,) = jax.linear_transpose(
+            lambda x: self._sc_embed(x, sc), dof_shape
+        )(z)
+        del zshape
+        return self._sc_embed(rc_dof, sc)
+
+    # ---------------------------------------------------------------- API
+    def prolongate(self, xc_b):
+        return self._jit_prolongate(
+            xc_b, self._dev, self.mm_c._stage(), self.mm_f._stage()
+        )
+
+    def restrict(self, rf_b):
+        return self._jit_restrict(
+            rf_b, self._dev, self.mm_c._stage(), self.mm_f._stage(),
+            self._sc, self.mm_f.dot_mask(),
+        )
+
+
+# --------------------------------------------------------------------------
+class BrickChebyshev:
+    """Chebyshev smoother on brick vectors: diagonal scaling breaks the
+    hanging invariant pointwise, so each D^{-1} application is refilled."""
+
+    def __init__(self, op: BrickDirichletLaplace, inv_diag_b, degree: int = 3,
+                 eig_ratio: float = 1.2, n_power_iters: int = 12):
+        self.op = op
+        self.degree = degree
+        mm = op.mm
+        self.inv_diag = inv_diag_b
+        rng = np.random.default_rng(7)
+        x = mm.from_dof_vector(
+            rng.standard_normal(mm.mf.n_dofs).astype(mm.mf.dtype)
+        )
+        lam = jnp.asarray(1.0, inv_diag_b.dtype)
+        for _ in range(n_power_iters):
+            y = mm.refill(self.inv_diag * self.op.vmult(x))
+            ny = jnp.sqrt(mm.dot(y, y))
+            lam = ny / jnp.sqrt(mm.dot(x, x))
+            x = y / ny
+        self.lmax = float(lam) * 1.1
+        self.lmin = self.lmax / (eig_ratio * 10.0)
+
+    def apply(self, b, x0=None):
+        op, mm = self.op, self.op.mm
+        theta = 0.5 * (self.lmax + self.lmin)
+        delta = 0.5 * (self.lmax - self.lmin)
+        x = jnp.zeros_like(b) if x0 is None else x0
+        r = b - op.vmult(x) if x0 is not None else b
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        d = mm.refill(self.inv_diag * r) / theta
+        for _ in range(self.degree):
+            x = x + d
+            r = b - op.vmult(x)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = rho_new * rho * d + (2.0 * rho_new / delta) * mm.refill(
+                self.inv_diag * r
+            )
+            rho = rho_new
+        return x
+
+
+# --------------------------------------------------------------------------
+class BrickGMGPreconditioner:
+    """Global-coarsening GMG V-cycle with brick-engine level operators."""
+
+    def __init__(self, geometry: str, dim: int, n_refinements: int,
+                 degree: int, dtype=np.float64, n_smooth: int = 3,
+                 min_level: int = 1, matmul_precision: str = "high"):
+        self.levels = []
+        self.mms = []
+        for r in range(min_level, n_refinements + 1):
+            tria = create_geometry(geometry, dim, r)
+            mf = MatrixFree(tria, degree, dtype=dtype)
+            self.levels.append(mf)
+            self.mms.append(
+                BrickLaplaceMM(mf, matmul_precision=matmul_precision)
+            )
+        self.ops = [BrickDirichletLaplace(mm) for mm in self.mms]
+        self.smoothers = []
+        for op, mm, mf in zip(self.ops, self.mms, self.levels):
+            # exact probing diagonal (host formula == the index engine's
+            # device probing, so iteration counts match the index GMG);
+            # Dirichlet rows get diagonal 1
+            diag = laplace_diagonal_host(mf)
+            diag[op._bdofs] = 1.0
+            safe = np.where(diag > 0, diag, 1.0)
+            inv = np.where(diag > 0, 1.0 / safe, 0.0)
+            inv_b = mm.from_dof_vector(inv.astype(mf.dtype))
+            self.smoothers.append(BrickChebyshev(op, inv_b, degree=n_smooth))
+        self.transfers = [
+            BrickTransfer(self.mms[i], self.mms[i + 1])
+            for i in range(len(self.mms) - 1)
+        ]
+
+    def _vcycle(self, lvl: int, b):
+        op = self.ops[lvl]
+        if lvl == 0:
+            x, _, _ = solve_cg(
+                op, b, tol=1e-10, max_iter=200, dot=op.mm.dot
+            )
+            return x
+        sm = self.smoothers[lvl]
+        x = sm.apply(b)
+        r = b - op.vmult(x)
+        r = op.project_rhs(r)
+        rc = self.transfers[lvl - 1].restrict(r)
+        rc = self.ops[lvl - 1].project_rhs(rc)
+        xc = self._vcycle(lvl - 1, rc)
+        x = x + op.project_rhs(self.transfers[lvl - 1].prolongate(xc))
+        return sm.apply(b, x0=x)
+
+    def __call__(self, b):
+        return self._vcycle(len(self.levels) - 1, b)
+
+    @property
+    def fine_op(self):
+        return self.ops[-1]
+
+    @property
+    def fine_mm(self):
+        return self.mms[-1]
+
+    @property
+    def fine_mf(self):
+        return self.levels[-1]

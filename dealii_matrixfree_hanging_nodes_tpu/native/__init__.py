@@ -58,7 +58,7 @@ def get_lib():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
         ]
         lib.hn_distribute_dofs.restype = ctypes.c_int64
         lib.hn_distribute_dofs.argtypes = [
@@ -67,7 +67,7 @@ def get_lib():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
         ]
         _lib = lib
     except OSError:
@@ -111,10 +111,10 @@ def distribute_dofs(dim: int, degree: int, level: np.ndarray,
     level = np.ascontiguousarray(level, dtype=np.int64)
     coord = np.ascontiguousarray(coord, dtype=np.int64)
     n_loc = (degree + 1) ** dim
-    gids = np.empty(n * n_loc, dtype=np.int64)
+    gids = np.empty(n * n_loc, dtype=np.int32)
     n_dofs = lib.hn_distribute_dofs(
         dim, degree, n, _ptr(level, ctypes.c_int64),
-        _ptr(coord, ctypes.c_int64), _ptr(gids, ctypes.c_int64)
+        _ptr(coord, ctypes.c_int64), _ptr(gids, ctypes.c_int32)
     )
     if n_dofs < 0:
         return None
@@ -128,9 +128,9 @@ def dof_unique(key1: np.ndarray, key2: np.ndarray):
         return None
     key1 = np.ascontiguousarray(key1, dtype=np.int64)
     key2 = np.ascontiguousarray(key2, dtype=np.int64)
-    gids = np.empty(len(key1), dtype=np.int64)
+    gids = np.empty(len(key1), dtype=np.int32)
     n_dofs = lib.hn_dof_unique(
         len(key1), _ptr(key1, ctypes.c_int64), _ptr(key2, ctypes.c_int64),
-        _ptr(gids, ctypes.c_int64)
+        _ptr(gids, ctypes.c_int32)
     )
     return gids, int(n_dofs)

@@ -115,13 +115,17 @@ int64_t hn_balance_flags(int32_t dim, int64_t n, const int64_t *level,
 namespace {
 
 struct KeyEntry {
-  int64_t k1, k2, idx;
+  int64_t k1, k2;
+  int64_t idx;
 };
 
 // Shared dedup core: sort (k1, k2, idx) entries BY VALUE (the earlier
 // index-indirect std::sort was cache-hostile: 2 random reads per comparison
-// made the nref=8 DoF pass take minutes instead of seconds).
-int64_t assign_dense_ids(std::vector<KeyEntry> &entries, int64_t *gid_out) {
+// made the nref=8 DoF pass take minutes instead of seconds). gid_out is
+// int32: dof counts stay < 2^31 (1.1e9 at quadrant nref=9 p=4) and the
+// host's fresh-page faults past ~9 GB RSS run at ~20-40 MB/s, so halving
+// the output (and every downstream cell_dofs array) is a wall-clock win.
+int64_t assign_dense_ids(std::vector<KeyEntry> &entries, int32_t *gid_out) {
   std::sort(entries.begin(), entries.end(),
             [](const KeyEntry &a, const KeyEntry &b) {
               if (a.k1 != b.k1) return a.k1 < b.k1;
@@ -136,7 +140,7 @@ int64_t assign_dense_ids(std::vector<KeyEntry> &entries, int64_t *gid_out) {
       prev2 = e.k2;
       first = false;
     }
-    gid_out[e.idx] = next;
+    gid_out[e.idx] = static_cast<int32_t>(next);
   }
   return next + 1;
 }
@@ -145,69 +149,117 @@ int64_t assign_dense_ids(std::vector<KeyEntry> &entries, int64_t *gid_out) {
 
 // Entity-key dedup: assigns dense ids by sorted (key1, key2); returns n_dofs.
 int64_t hn_dof_unique(int64_t n, const int64_t *key1, const int64_t *key2,
-                      int64_t *gid_out) {
+                      int32_t *gid_out) {
   std::vector<KeyEntry> entries(n);
   for (int64_t i = 0; i < n; ++i) entries[i] = {key1[i], key2[i], i};
   return assign_dense_ids(entries, gid_out);
 }
 
-// Full DoF distribution: builds the per-(cell, lattice-node) entity keys of
-// dof_handler._distribute (17-bit coordinate / 19-bit marker fields per
-// axis; DoFHandler docstring has the sharing rule) in one streaming pass and
-// dedups them — replaces ~25 NumPy passes over [n_cells * n_loc] int64
-// temporaries (the nref=8 setup wall). Returns n_dofs, or -1 on unsupported
-// inputs (caller falls back to NumPy).
+// Full DoF distribution, per-entity-class: every lattice node belongs to
+// one of 2^dim classes by which axes are interior (0<ia<p). Within a class
+// the entity identity is (per-axis coordinate, per-interior-axis lattice
+// index, cell level if any axis is interior) — vertices are shared purely
+// by position across levels, interior entities only between equal-extent
+// (same-level) entities, exactly the sharing rule of
+// dof_handler._distribute. Packed into ONE int64:
+//   coords: 16 bits per axis (lmax <= 15), ia: 4 bits per axis (p <= 15),
+//   level: 4 bits (0 for the vertex class) -> <= 48+12+4 = 64 bits.
+// Each class is sorted and densely numbered independently with a running
+// offset; peak transient memory is the LARGEST class (~40% of the old
+// all-in-one entry array at p=4), keeping nref>=8 setups under the host's
+// ~9 GB fresh-fault cliff (utils/hostmem.py). Returns n_dofs, or -1 on
+// unsupported inputs (caller falls back to NumPy).
 int64_t hn_distribute_dofs(int32_t dim, int32_t p, int64_t n_cells,
                            const int64_t *level, const int64_t *coord,
-                           int64_t *gid_out) {
-  if (dim < 1 || dim > 3 || p < 1) return -1;
+                           int32_t *gid_out) {
+  if (dim < 1 || dim > 3 || p < 1 || p > 15) return -1;
   int64_t lmax = 0;
   for (int64_t i = 0; i < n_cells; ++i) lmax = std::max(lmax, level[i]);
   if (lmax > 15) return -1;
-  if (((int64_t(1) << lmax) * (p + 1) + p) >= (int64_t(1) << 19)) return -1;
 
   const int n1 = p + 1;
   int64_t n_loc = 1;
   for (int d = 0; d < dim; ++d) n_loc *= n1;
 
-  std::vector<KeyEntry> entries(static_cast<size_t>(n_cells) * n_loc);
-  for (int64_t i = 0; i < n_cells; ++i) {
-    const int64_t sz = int64_t(1) << (lmax - level[i]);
-    const int64_t marker_base = sz * n1;
-    int64_t base[3] = {0, 0, 0};
-    for (int d = 0; d < dim; ++d) base[d] = coord[i * dim + d] * sz;
-    for (int64_t l = 0; l < n_loc; ++l) {
-      // lattice index per axis, x fastest (local_lattice order); key fold
-      // order matches the Python loop: axis 0 ends up in the HIGH bits.
-      int64_t k1 = 0, k2 = 0;
-      int64_t rem = l;
-      // compute per-axis in a==0..dim-1 order while folding high->low:
-      // python does key = (key << W) | field_a for a = 0..dim-1, so field_0
-      // occupies the highest field. Replicate exactly.
-      for (int a = 0; a < dim; ++a) {
-        // lattice index of axis a: (l / n1^a) % n1
-        int64_t div = 1;
-        for (int t = 0; t < a; ++t) div *= n1;
-        const int64_t ia = (l / div) % n1;
-        int64_t coord_a, marker_a;
-        if (ia == 0) {
-          coord_a = base[a];
-          marker_a = 0;
-        } else if (ia == p) {
-          coord_a = base[a] + sz;
-          marker_a = 0;
-        } else {
-          coord_a = base[a];
-          marker_a = marker_base + ia;
-        }
-        k1 = (k1 << 17) | coord_a;
-        k2 = (k2 << 19) | marker_a;
-      }
-      entries[static_cast<size_t>(i) * n_loc + l] = {k1, k2, i * n_loc + l};
-      (void)rem;
+  struct CKey {
+    uint64_t key;
+    int64_t idx;
+  };
+
+  // per-axis lattice index decomposition of local slot l (x fastest)
+  std::vector<int> lat(static_cast<size_t>(n_loc) * dim);
+  for (int64_t l = 0; l < n_loc; ++l) {
+    int64_t rem = l;
+    for (int a = 0; a < dim; ++a) {
+      lat[l * dim + a] = static_cast<int>(rem % n1);
+      rem /= n1;
     }
   }
-  return assign_dense_ids(entries, gid_out);
+
+  int64_t next_gid = 0;
+  std::vector<CKey> entries;
+  for (int cls = 0; cls < (1 << dim); ++cls) {
+    // slots of this class
+    std::vector<int64_t> slots;
+    for (int64_t l = 0; l < n_loc; ++l) {
+      int c = 0;
+      for (int a = 0; a < dim; ++a) {
+        const int ia = lat[l * dim + a];
+        if (ia > 0 && ia < p) c |= 1 << a;
+      }
+      if (c == cls) slots.push_back(l);
+    }
+    if (slots.empty()) continue;
+    const int64_t m = static_cast<int64_t>(slots.size());
+    entries.clear();
+    entries.resize(static_cast<size_t>(n_cells) * m);
+    for (int64_t i = 0; i < n_cells; ++i) {
+      const int64_t lv = level[i];
+      const int64_t sz = int64_t(1) << (lmax - lv);
+      int64_t base[3] = {0, 0, 0};
+      for (int d = 0; d < dim; ++d) base[d] = coord[i * dim + d] * sz;
+      for (int64_t s = 0; s < m; ++s) {
+        const int64_t l = slots[s];
+        uint64_t key = 0;
+        uint64_t iabits = 0;
+        for (int a = 0; a < dim; ++a) {
+          const int ia = lat[l * dim + a];
+          int64_t ca;
+          int ib;
+          if (ia == 0) {
+            ca = base[a];
+            ib = 0;
+          } else if (ia == p) {
+            ca = base[a] + sz;
+            ib = 0;
+          } else {
+            ca = base[a];
+            ib = ia;
+          }
+          key = (key << 16) | static_cast<uint64_t>(ca);
+          iabits = (iabits << 4) | static_cast<uint64_t>(ib);
+        }
+        key = (key << (4 * dim)) | iabits;
+        key = (key << 4) | (cls ? static_cast<uint64_t>(lv) : 0);
+        entries[static_cast<size_t>(i) * m + s] = {key, i * n_loc + l};
+      }
+    }
+    std::sort(entries.begin(), entries.end(),
+              [](const CKey &a, const CKey &b) { return a.key < b.key; });
+    uint64_t prev = 0;
+    bool first = true;
+    int64_t gid = next_gid - 1;
+    for (const auto &e : entries) {
+      if (first || e.key != prev) {
+        ++gid;
+        prev = e.key;
+        first = false;
+      }
+      gid_out[e.idx] = static_cast<int32_t>(gid);
+    }
+    next_gid = gid + 1;
+  }
+  return next_gid;
 }
 
 }  // extern "C"

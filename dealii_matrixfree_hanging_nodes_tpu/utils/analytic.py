@@ -18,5 +18,9 @@ def sum_of_sines(points: np.ndarray) -> np.ndarray:
 
 
 def interpolate(dof_handler, fn=sum_of_sines) -> np.ndarray:
-    """Nodal interpolation into a DoF vector (VectorTools::interpolate)."""
-    return fn(dof_handler.support_points())
+    """Nodal interpolation into a DoF vector (VectorTools::interpolate).
+
+    Chunk-fused: evaluates fn per cell chunk so only the [n_dofs] result
+    is materialized (the support-point array is dim x larger — past the
+    host's fast-fault window at nref>=8, see utils/hostmem.py)."""
+    return dof_handler.interpolate_values(fn)

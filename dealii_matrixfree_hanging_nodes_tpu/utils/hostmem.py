@@ -44,5 +44,10 @@ def tune_host_memory() -> None:
         libc.mallopt(M_MMAP_THRESHOLD, 1 << 20)
         M_MMAP_MAX = -4
         libc.mallopt(M_MMAP_MAX, 0)  # sbrk heap: freed pages stay mapped
+        # ... but glibc TRIMS the heap top on free (default threshold
+        # 128 kB), unmapping exactly the pages we want to keep — later
+        # phases then refault them at the slow rate. Disable trimming.
+        M_TRIM_THRESHOLD = -1
+        libc.mallopt(M_TRIM_THRESHOLD, 0x7FFFFFFF)
     except Exception:  # pragma: no cover - best effort
         pass
