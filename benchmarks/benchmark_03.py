@@ -39,6 +39,7 @@ def run(
     dtype=np.float32,
     table=None,
     engine: str = "index",
+    n_windows: int = 3,
 ):
     """engine="index" is the reference's MemorySpace::Host analog;
     engine="bricks" is the device-native path (the CUDA analog).
@@ -117,8 +118,23 @@ def run(
             repeat_timed_paired,
         )
 
-        res_c, res_p = repeat_timed_paired(steps, x0s, n_reps=n_reps, n_trials=3)
+        res_c, res_p = repeat_timed_paired(
+            steps, x0s, n_reps=n_reps, n_trials=n_windows
+        )
         t_pair = {True: res_c.min, False: res_p.min}
+        # many-window overhead protocol: each interleaved trial is one
+        # weather window; the constrained/plain ratio within a window is
+        # drift-free, so the per-window overheads and their median bound
+        # the HN overhead independent of tunnel weather (the min/min ratio
+        # below can pair times from DIFFERENT windows when n_windows > 1)
+        win = [
+            100.0 * (tc / tp - 1.0)
+            for tc, tp in zip(res_c.times, res_p.times)
+        ]
+        table.add_value(
+            "overhead_windows", "/".join(f"{w:.1f}" for w in win)
+        )
+        table.add_value("overhead_median", round(float(np.median(win)), 2))
         for res, tag in ((res_c, ""), (res_p, "_plain")):
             table.add_value("time_min" + tag, res.min)
             table.set_scientific("time_min" + tag, True)
@@ -149,9 +165,12 @@ def run(
 
 
 if __name__ == "__main__":
-    geometry = sys.argv[1] if len(sys.argv) > 1 else "quadrant"
-    degree = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    min_ref = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-    max_ref = int(sys.argv[4]) if len(sys.argv) > 4 else 6
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    geometry = args[0] if len(args) > 0 else "quadrant"
+    degree = int(args[1]) if len(args) > 1 else 4
+    min_ref = int(args[2]) if len(args) > 2 else 4
+    max_ref = int(args[3]) if len(args) > 3 else 6
+    n_windows = int(args[4]) if len(args) > 4 else 3
     engine = "bricks" if "--bricks" in sys.argv else "index"
-    run(geometry, degree, min_ref, max_ref, engine=engine)
+    run(geometry, degree, min_ref, max_ref, engine=engine,
+        n_windows=n_windows)

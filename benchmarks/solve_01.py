@@ -101,11 +101,74 @@ def run(nref: int = 3, degree: int = 2, dtype=np.float64):
     return table
 
 
+def run_bricks(nref: int = 6, degree: int = 4, geometry: str = "quadrant",
+               dtype=np.float32):
+    """GMG-CG entirely on the brick engine (BASELINE row 4 at benchmark
+    scale, VERDICT r2 item 6): every level operator, smoother, transfer,
+    and the direct coarse solve run in the flagship brick layout on the
+    chip. Reports iterations, residual reduction, and time-to-solution
+    (wall-clock around the CG loop, fetch-synced)."""
+    import time
+
+    from dealii_matrixfree_hanging_nodes_tpu.models.multigrid_bricks import (
+        BrickGMGPreconditioner,
+    )
+    from dealii_matrixfree_hanging_nodes_tpu.utils.analytic import interpolate
+
+    table = ConvergenceTable()
+    on_cpu = jax.default_backend() == "cpu"
+    tol = 1e-10 if (on_cpu and dtype == np.float64) else 1e-5
+
+    t0 = time.perf_counter()
+    gmg = BrickGMGPreconditioner(geometry, 3, nref, degree, dtype=dtype)
+    op, mm, mf = gmg.fine_op, gmg.fine_mm, gmg.fine_mf
+    # manufactured solution: nodal interpolant of sum-of-sines, zeroed on
+    # the boundary (benchmark_03.h:362-378's function, Dirichlet variant)
+    xs = interpolate(mf.dof_handler).astype(mf.dtype)
+    xs[np.asarray(op._bdofs)] = 0.0
+    xstar_b = mm.from_dof_vector(xs)
+    t_setup = time.perf_counter() - t0
+
+    b = op.vmult(xstar_b)
+    np.asarray(mm.to_dof_vector(b))  # sync: exclude compile from the solve
+    t0 = time.perf_counter()
+    x, iters, res = solve_cg(op, b, M=gmg, tol=tol, max_iter=100, dot=mm.dot)
+    r = b - op.vmult(x)
+    rnorm = float(jnp.sqrt(mm.dot(r, r)))  # fetch-syncs the chain
+    t_solve = time.perf_counter() - t0
+    bnorm = float(jnp.sqrt(mm.dot(b, b)))
+    free = ~mf.constraints.constrained_dof_marker()
+    err = float(
+        np.abs((mm.to_dof_vector(x) - np.asarray(xs))[free]).max()
+    )
+    table.add_value("solver", "brick-GMG-CG")
+    table.add_value("geometry", geometry)
+    table.add_value("n_ref", nref)
+    table.add_value("degree", degree)
+    table.add_value("n_dofs", mf.n_dofs)
+    table.add_value("iters", iters)
+    table.add_value("rel_res", rnorm / bnorm)
+    table.set_scientific("rel_res", True)
+    table.add_value("err_max", err)
+    table.set_scientific("err_max", True)
+    table.add_value("setup_s", round(t_setup, 1))
+    table.add_value("solve_s", round(t_solve, 3))
+    table.add_value("s_per_iter", round(t_solve / max(iters, 1), 4))
+    print(table.write_text())
+    return table
+
+
 if __name__ == "__main__":
     if jax.default_backend() == "cpu":
         # true f64 on host (outside pytest, x64 is off by default and the
         # f64 dtype silently degrades to f32, hiding the 1e-10 tolerances)
         jax.config.update("jax_enable_x64", True)
-    nref = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    degree = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    run(nref, degree)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    nref = int(args[0]) if len(args) > 0 else 3
+    degree = int(args[1]) if len(args) > 1 else 2
+    if "--bricks" in sys.argv:
+        geometry = args[2] if len(args) > 2 else "quadrant"
+        dt = np.float64 if jax.default_backend() == "cpu" else np.float32
+        run_bricks(nref, degree, geometry, dtype=dt)
+    else:
+        run(nref, degree)

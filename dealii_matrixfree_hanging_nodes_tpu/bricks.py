@@ -1663,21 +1663,239 @@ class BrickLaplaceMM:
         with _jax.default_matmul_precision(prec):
             return self._jit_vmult(bv, self._stage())
 
+    # ------------------------------------------------------------- multi-RHS
+    def _fold_level_multi(self, rows, tb, k, nr1, fill):
+        """_fold_level on k-major flattened rows [k*nr1, n_loc]: the gather
+        indices get per-RHS offsets j*nr1; the einsum batches k into the m
+        (MXU M-) dimension so the [G, n_loc, n_loc] transfer tensors are
+        read once for all k right-hand sides."""
+        src = tb["coarse"] if fill else tb["fine"]
+        dst = tb["fine"] if fill else tb["coarse"]
+        G, m = src.shape
+        offs = (jnp.arange(k, dtype=src.dtype) * src.dtype.type(nr1))
+        src_k = offs[:, None, None] + src[None]  # [k, G, m]
+        dst_k = offs[:, None, None] + dst[None]
+        sel = jnp.take(rows, src_k.reshape(-1), axis=0).reshape(k, G, m, -1)
+        T = tb["T"]
+        out = jnp.einsum(
+            "kgmi,gij->kgmj", sel,
+            jnp.swapaxes(T, 1, 2) if fill else T,
+            preferred_element_type=rows.dtype,
+        ) * tb["mask"][None]
+        return rows.at[dst_k.reshape(-1)].add(out.reshape(k * G * m, -1))
+
+    def _dss_surface_multi(self, surf, a, k):
+        """_dss_surface on [k*nb, n_surf]: pool ids get per-RHS offsets so
+        each RHS sums into its own pool block (one scatter/gather pair total,
+        k-fold wider — not k separate passes)."""
+        bs = self.bs
+        nb = bs.n_bricks
+        dim = bs.dim
+        nf = 2 * dim
+        fsize = (bs.NB - 2) ** (dim - 1)
+
+        def _pool_ids(pid, npools):
+            offs = jnp.arange(k, dtype=pid.dtype) * pid.dtype.type(npools)
+            return (offs[:, None] + pid.reshape(-1)[None]).reshape(-1)
+
+        fid = _pool_ids(a["face_pool_id"], bs.n_face_pools)
+        fblock = surf[:, : nf * fsize].reshape(k * nb * nf, fsize)
+        pool = jnp.zeros((k * bs.n_face_pools, fsize), surf.dtype)
+        pool = pool.at[fid].add(fblock)
+        parts = [pool[fid].reshape(k * nb, nf * fsize)]
+        off = nf * fsize
+        if dim == 3:
+            esize = bs.NB - 2
+            eid = _pool_ids(a["edge_pool_id"], bs.n_edge_pools)
+            eblock = surf[:, off : off + 12 * esize].reshape(k * nb * 12, esize)
+            epool = jnp.zeros((k * bs.n_edge_pools, esize), surf.dtype)
+            epool = epool.at[eid].add(eblock)
+            parts.append(epool[eid].reshape(k * nb, 12 * esize))
+            off += 12 * esize
+        ncorner = 2**dim
+        cid = _pool_ids(a["corner_pool_id"], bs.n_corner_pools)
+        cpool = jnp.zeros((k * bs.n_corner_pools,), surf.dtype)
+        cpool = cpool.at[cid].add(surf[:, off : off + ncorner].reshape(-1))
+        parts.append(cpool[cid].reshape(k * nb, ncorner))
+        return jnp.concatenate(parts, axis=1)
+
+    def _subset_scatter_add_multi(self, v, dsub, a, k):
+        """v[j*nb + sub_ids] += dsub (k-major): the one-hot path shares the
+        [nb, n_sub] selector across RHS via a k-batched einsum."""
+        nb = self.bs.n_bricks
+        if self._use_ssub:
+            upd = jnp.einsum(
+                "bs,ksx->kbx", a["Ssub"],
+                dsub.reshape(k, self._n_sub, dsub.shape[-1]),
+                preferred_element_type=v.dtype,
+            )
+            return v + upd.reshape(k * nb, -1)
+        sid = a["sub_ids"]
+        offs = jnp.arange(k, dtype=sid.dtype) * sid.dtype.type(nb)
+        return v.at[(offs[:, None] + sid[None]).reshape(-1)].add(dsub)
+
+    def _hn_ids2(self, a, k):
+        """[n_hn, k] gather indices of the HN rows in the k-major flattened
+        [k*n_sub*C, n_loc] cols space — hn-major so the mask-sorted
+        contiguous slicing of _hn_apply still applies on axis 0 (k rides as
+        a middle axis through the composite matmuls)."""
+        hs = a["hn_sub"]
+        nr1 = self._n_sub * self.bs.B**self.bs.dim
+        offs = jnp.arange(k, dtype=hs.dtype) * hs.dtype.type(nr1)
+        return hs[:, None] + offs[None, :]
+
+    def _fill_updates_multi(self, v, surf_vals, a, k):
+        """_fill_updates on the k-major layout: [k*n_sub, ...] subset rows,
+        shared EscX/EFX operands read once for all RHS."""
+        nb = self.bs.n_bricks
+        sid = a["sub_ids"]
+        offs = jnp.arange(k, dtype=sid.dtype) * sid.dtype.type(nb)
+        sid_k = (offs[:, None] + sid[None]).reshape(-1)
+        v_sub = jnp.take(v, sid_k, axis=0)
+        parts = [jnp.take(surf_vals, sid_k, axis=0)]
+        if self._nX:
+            parts.append(
+                jnp.dot(v_sub, a["EsI"].T, preferred_element_type=v.dtype)
+            )
+        inp_sub = jnp.concatenate(parts, axis=1)  # [k*n_sub, ns + nX]
+        C = self.bs.B**self.bs.dim
+        cols2 = jnp.dot(
+            inp_sub, a["EscX"], preferred_element_type=v.dtype
+        ).reshape(k * self._n_sub * C, -1)
+        ids2 = self._hn_ids2(a, k)
+        n_hn = int(a["hn_sub"].shape[0])
+        orig_rows = jnp.take(cols2, ids2.reshape(-1), axis=0).reshape(
+            n_hn, k, -1
+        )
+        for lv in sorted(self._levels):
+            lz = a["level_zero"][lv]
+            lin = lz["lin"]
+            loffs = jnp.arange(k, dtype=lin.dtype) * lin.dtype.type(
+                self._n_sub * C
+            )
+            lin_k = (lin[:, None] + loffs[None, :]).reshape(-1)
+            zer = jnp.take(cols2, lin_k, axis=0).reshape(
+                lin.shape[0], k, -1
+            ) * lz["keep"][:, None, :]
+            cols2 = cols2.at[lin_k].set(zer.reshape(-1, zer.shape[-1]))
+            cols2 = self._fold_level_multi(
+                cols2, a["transfers_b"][lv], k, self._n_sub * C, fill=True
+            )
+        sub2 = self._hn_apply(
+            jnp.take(cols2, ids2.reshape(-1), axis=0).reshape(n_hn, k, -1),
+            a, transpose=False,
+        )
+        diff = sub2 - orig_rows
+        dcols = jnp.zeros_like(cols2).at[ids2.reshape(-1)].set(
+            diff.reshape(-1, diff.shape[-1])
+        )
+        add = jnp.dot(
+            dcols.reshape(k * self._n_sub, -1), a["EFX"],
+            preferred_element_type=v.dtype,
+        )
+        add = (
+            add.reshape(k, self._n_sub, -1) * a["fill_invden_X"][None]
+        ).reshape(k * self._n_sub, -1)
+        return add
+
+    def _vmult_multi_impl(self, bvk, a, k):
+        """Blocked multi-RHS vmult on the k-major flattened layout
+        [k*nb, N3p]: every matmul's M dimension grows k-fold, so the static
+        operands (Kronecker factors, Es/EscX/EFX, composite HN matrices) are
+        streamed from HBM once per k right-hand sides — the MXU formulation
+        the reference's multi-vector interfaces would use
+        (benchmark_03.h:210-275 operates on one vector; this is the TPU
+        evolution). Index ops get per-RHS iota offsets instead of vmap's
+        batched gather/scatter lowering (measured slower per vector)."""
+        bs = self.bs
+        nb = bs.n_bricks
+        dim = bs.dim
+        C = bs.B**dim
+        bv = bvk.reshape(k * nb, self.N3p)
+        v = self._main_apply(bv, a)
+        v = v * jnp.tile(a["geo"], k)[:, None]
+
+        if self._n_sub:
+            sid = a["sub_ids"]
+            offs = jnp.arange(k, dtype=sid.dtype) * sid.dtype.type(nb)
+            sid_k = (offs[:, None] + sid[None]).reshape(-1)
+            u_sub = jnp.take(bv, sid_k, axis=0)
+            cols_u = self._extract_cols(u_sub, a)  # [k*n_sub*C, n_loc]
+            plain = jnp.dot(cols_u, a["K"].T, preferred_element_type=bv.dtype)
+            plain = plain * jnp.tile(a["geo_cell_sub"], k)[:, None]
+            final = plain
+            if a["absent_sub"].shape[0]:
+                ab = a["absent_sub"]
+                aoffs = jnp.arange(k, dtype=ab.dtype) * ab.dtype.type(
+                    self._n_sub * C
+                )
+                final = final.at[
+                    (aoffs[:, None] + ab[None]).reshape(-1)
+                ].set(0.0)
+            if a["hn_sub"].shape[0]:
+                ids2 = self._hn_ids2(a, k)
+                n_hn = int(a["hn_sub"].shape[0])
+                own = jnp.take(final, ids2.reshape(-1), axis=0).reshape(
+                    n_hn, k, -1
+                )
+                sub_raw = self._hn_apply(own, a, transpose=True)
+                final = final.at[ids2.reshape(-1)].set(
+                    sub_raw.reshape(-1, sub_raw.shape[-1])
+                )
+                for lv in sorted(self._levels, reverse=True):
+                    lz = a["level_zero"][lv]
+                    lin = lz["lin"]
+                    loffs = jnp.arange(k, dtype=lin.dtype) * lin.dtype.type(
+                        self._n_sub * C
+                    )
+                    lin_k = (lin[:, None] + loffs[None, :]).reshape(-1)
+                    zeroed = jnp.take(final, lin_k, axis=0).reshape(
+                        lin.shape[0], k, -1
+                    ) * lz["keep"][:, None, :]
+                    final = self._fold_level_multi(
+                        final, a["transfers_b"][lv], k, self._n_sub * C,
+                        fill=False,
+                    )
+                    final = final.at[lin_k].set(
+                        zeroed.reshape(-1, zeroed.shape[-1])
+                    )
+            delta = final - plain
+            v = self._subset_scatter_add_multi(
+                v, self._scatter_cols(delta, a), a, k
+            )
+
+        # DSS + fill on the k-major layout
+        ns = self.n_surf
+        surf = jnp.dot(v, a["Es"].T, preferred_element_type=v.dtype)
+        surf_new = self._dss_surface_multi(surf, a, k)
+        delta = surf_new - surf
+        if self._n_sub and a["hn_sub"].shape[0]:
+            add = self._fill_updates_multi(v, surf_new, a, k)
+            delta = self._subset_scatter_add_multi(delta, add[:, :ns], a, k)
+            if self._nX:
+                upd_int = jnp.dot(
+                    add[:, ns:], a["EsI"], preferred_element_type=v.dtype
+                )
+                v = self._subset_scatter_add_multi(v, upd_int, a, k)
+        out = v + jnp.dot(delta, a["Es"], preferred_element_type=v.dtype)
+        return jnp.where(
+            a["node_valid"][None], out.reshape(k, nb, self.N3p), 0.0
+        )
+
     def vmult_multi(self, bvk):
         """Multi-RHS vmult: bvk [n_rhs, n_bricks, N3p] -> same shape.
 
-        Functional block-Krylov interface (verified equal to stacked single
-        vmults). NOTE: this vmapped implementation does not yet amortize the
-        operator reads on the current backend (measured slower per vector
-        than the single path); a dedicated blocked formulation that feeds
-        [N3p, n_rhs*nb] matmuls is queued for round 2 (PERF.md)."""
+        Blocked formulation (k-major flattened rows): amortizes every static
+        operand read across the RHS block; equal to stacked single vmults to
+        rounding (tests/test_bricks.py::test_vmult_multi_matches_single)."""
         import jax as _jax
+        from functools import partial
 
-        if not hasattr(self, "_jit_vmult_multi"):
-            self._jit_vmult_multi = _jax.jit(
-                _jax.vmap(self._vmult_impl, in_axes=(0, None))
-            )
+        k = int(bvk.shape[0])
+        cache = self.__dict__.setdefault("_jit_vmult_multi_k", {})
+        if k not in cache:
+            cache[k] = _jax.jit(partial(self._vmult_multi_impl, k=k))
         prec = {"default": "default", "high": "tensorfloat32",
                 "highest": "highest"}.get(self._precision, self._precision)
         with _jax.default_matmul_precision(prec):
-            return self._jit_vmult_multi(bvk, self._stage())
+            return cache[k](bvk, self._stage())

@@ -45,7 +45,64 @@ __all__ = [
     "BrickTransfer",
     "BrickChebyshev",
     "BrickGMGPreconditioner",
+    "DofEmbed",
 ]
+
+
+# --------------------------------------------------------------------------
+class DofEmbed:
+    """Device-side dof-vector <-> brick-vector conversions for one
+    BrickLaplaceMM level (the jit-safe analog of from_dof_vector /
+    to_dof_vector): ``embed`` distributes hanging rows from masters via the
+    CSR tables and places each dof at every covering node copy; ``extract``
+    reads the owner copy of each dof. Both are pure linear functions of
+    device arrays (usable under jit / linear_transpose)."""
+
+    def __init__(self, mm: BrickLaplaceMM):
+        bs, mf = mm.bs, mm.mf
+        ci = mf.constraints
+        dt = mf.dtype
+        valid_idx = np.nonzero(bs.node_valid)[0]
+        self.tables = dict(
+            valid_idx=jnp.asarray(valid_idx.astype(np.int64)),
+            valid_dof=jnp.asarray(bs.node_dof[valid_idx].astype(np.int32)),
+            slave=jnp.asarray(ci.slave_dofs.astype(np.int32)),
+            row=jnp.asarray(
+                np.repeat(
+                    np.arange(len(ci.slave_dofs), dtype=np.int32),
+                    np.diff(ci.row_ptr),
+                )
+            ),
+            col=jnp.asarray(ci.col.astype(np.int32)),
+            w=jnp.asarray(ci.weight.astype(dt)),
+            owner=jnp.asarray(bs.owner_node_of_dof.astype(np.int64)),
+        )
+        self.mm = mm
+        self.nnode = bs.n_bricks * bs.NB**bs.dim
+        self.n_dofs = mf.n_dofs
+
+    def embed(self, x_dof, sc):
+        """dof vector -> brick vector [nb, N3p] (sc = self.tables)."""
+        x = x_dof
+        if int(sc["slave"].shape[0]):
+            upd = jax.ops.segment_sum(
+                sc["w"] * jnp.take(x, sc["col"]), sc["row"],
+                num_segments=int(sc["slave"].shape[0]),
+            )
+            # unique_indices: slave rows are distinct — keeps the scatter
+            # linear-transposable (jax.linear_transpose in BrickTransfer)
+            x = x.at[sc["slave"]].set(upd, unique_indices=True)
+        flat = jnp.zeros(self.nnode, x.dtype)
+        flat = flat.at[sc["valid_idx"]].set(
+            jnp.take(x, sc["valid_dof"]), unique_indices=True
+        )
+        out = flat.reshape(self.mm.bs.n_bricks, -1)
+        return jnp.pad(out, ((0, 0), (0, self.mm.N3p - self.mm.N3)))
+
+    def extract(self, bv, sc):
+        """brick vector -> dof vector (owner-copy read)."""
+        flat = bv[:, : self.mm.N3].reshape(-1)
+        return jnp.take(flat, sc["owner"])
 
 
 # --------------------------------------------------------------------------
@@ -142,22 +199,8 @@ class BrickTransfer:
         # device-side dof -> coarse-brick embedding (S_c) for the adjoint
         # pull-back; hanging values are re-derived from masters via the CSR
         # distribute tables (small: n_hanging rows)
-        ci = mf_c.constraints
-        valid_idx = np.nonzero(bs_c.node_valid)[0]
-        self._sc = dict(
-            valid_idx=jnp.asarray(valid_idx.astype(np.int64)),
-            valid_dof=jnp.asarray(bs_c.node_dof[valid_idx].astype(np.int32)),
-            slave=jnp.asarray(ci.slave_dofs.astype(np.int32)),
-            row=jnp.asarray(
-                np.repeat(
-                    np.arange(len(ci.slave_dofs), dtype=np.int32),
-                    np.diff(ci.row_ptr),
-                )
-            ),
-            col=jnp.asarray(ci.col.astype(np.int32)),
-            w=jnp.asarray(ci.weight.astype(dt)),
-        )
-        self._nnode_c = bs_c.n_bricks * bs_c.NB**dim
+        self._embed_c = DofEmbed(mm_c)
+        self._sc = self._embed_c.tables
         self._n_dofs_c = mf_c.n_dofs
         self._C_f, self._C_c, self._n_loc, self._dim = C_f, C_c, n_loc, dim
         self._dt = dt
@@ -185,25 +228,8 @@ class BrickTransfer:
         return self.mm_f._scatter_cols(u, af)
 
     def _sc_embed(self, x_dof, sc):
-        """dof vector -> coarse brick vector (device from_dof_vector):
-        distribute hanging rows from masters, then place at every node."""
-        x = x_dof
-        if int(sc["slave"].shape[0]):
-            upd = jax.ops.segment_sum(
-                sc["w"] * jnp.take(x, sc["col"]), sc["row"],
-                num_segments=int(sc["slave"].shape[0]),
-            )
-            # unique_indices: slave rows are distinct — keeps the scatter
-            # linear-transposable (jax.linear_transpose in _restrict_impl)
-            x = x.at[sc["slave"]].set(upd, unique_indices=True)
-        flat = jnp.zeros(self._nnode_c, x.dtype)
-        flat = flat.at[sc["valid_idx"]].set(
-            jnp.take(x, sc["valid_dof"]), unique_indices=True
-        )
-        nb_c = self.mm_c.bs.n_bricks
-        out = flat.reshape(nb_c, -1)
-        pad = self.mm_c.N3p - self.mm_c.N3
-        return jnp.pad(out, ((0, 0), (0, pad)))
+        """dof vector -> coarse brick vector (device from_dof_vector)."""
+        return self._embed_c.embed(x_dof, sc)
 
     def _prolongate_impl(self, xc_b, d, ac, af):
         return self._pb(xc_b, d, ac, af)
@@ -288,7 +314,8 @@ class BrickGMGPreconditioner:
 
     def __init__(self, geometry: str, dim: int, n_refinements: int,
                  degree: int, dtype=np.float64, n_smooth: int = 3,
-                 min_level: int = 1, matmul_precision: str = "high"):
+                 min_level: int = 1, matmul_precision: str = "high",
+                 coarse: str = "direct"):
         self.levels = []
         self.mms = []
         for r in range(min_level, n_refinements + 1):
@@ -299,6 +326,34 @@ class BrickGMGPreconditioner:
                 BrickLaplaceMM(mf, matmul_precision=matmul_precision)
             )
         self.ops = [BrickDirichletLaplace(mm) for mm in self.mms]
+        # coarsest-level solver: "direct" applies a host-assembled dense
+        # inverse as one device matmul (an iterative coarse solve at f32
+        # on-chip spins at tight tolerances and pays ~0.4 ms dispatch per
+        # CG step through the tunnel); "cg" keeps the f64/CPU behavior
+        self._coarse_direct = coarse == "direct"
+        if self._coarse_direct:
+            from ..oracle import assemble_laplace
+
+            mf0, mm0 = self.levels[0], self.mms[0]
+            A, Cm, _, _ = assemble_laplace(mf0.tria, degree)
+            M = np.asarray((Cm.T @ A @ Cm).todense())
+            fixed = np.zeros(mf0.n_dofs, dtype=bool)
+            fixed[self.ops[0]._bdofs] = True
+            fixed |= mf0.constraints.constrained_dof_marker()
+            M[fixed, :] = 0.0
+            M[:, fixed] = 0.0
+            M[fixed, fixed] = 1.0
+            Minv = np.linalg.inv(M)
+            self._embed0 = DofEmbed(mm0)
+            sc0 = self._embed0.tables
+            Minv_d = jnp.asarray(Minv.astype(mf0.dtype))
+
+            def _coarse(b_b, MinvT, sc):
+                r = self._embed0.extract(b_b, sc)
+                return self._embed0.embed(jnp.dot(r, MinvT), sc)
+
+            self._jit_coarse = jax.jit(_coarse)
+            self._coarse_args = (Minv_d.T, sc0)
         self.smoothers = []
         for op, mm, mf in zip(self.ops, self.mms, self.levels):
             # exact probing diagonal (host formula == the index engine's
@@ -318,6 +373,8 @@ class BrickGMGPreconditioner:
     def _vcycle(self, lvl: int, b):
         op = self.ops[lvl]
         if lvl == 0:
+            if self._coarse_direct:
+                return self._jit_coarse(b, *self._coarse_args)
             x, _, _ = solve_cg(
                 op, b, tol=1e-10, max_iter=200, dot=op.mm.dot
             )

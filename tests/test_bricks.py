@@ -69,16 +69,20 @@ def test_brick_space_cg():
 
 
 def test_vmult_multi_matches_single():
-    t = mfhn.create_quadrant(3, 3)
-    mf = MatrixFree(t, 2, dtype=np.float64)
-    bl = BrickLaplaceMM(mf)
-    rng = np.random.default_rng(2)
-    vs = [mf.constraints.distribute(rng.standard_normal(mf.n_dofs)) for _ in range(3)]
-    bvk = jnp.stack([bl.from_dof_vector(v) for v in vs])
-    multi = bl.vmult_multi(bvk)
-    for k, v in enumerate(vs):
-        single = bl.vmult(bl.from_dof_vector(v))
-        assert float(jnp.abs(multi[k] - single).max()) < 1e-12
+    for geo, nref, p, nrhs in [("quadrant", 3, 2, 3), ("annulus", 3, 2, 8)]:
+        t = mfhn.create_geometry(geo, 3, nref)
+        mf = MatrixFree(t, p, dtype=np.float64)
+        bl = BrickLaplaceMM(mf)
+        rng = np.random.default_rng(2)
+        vs = [
+            mf.constraints.distribute(rng.standard_normal(mf.n_dofs))
+            for _ in range(nrhs)
+        ]
+        bvk = jnp.stack([bl.from_dof_vector(v) for v in vs])
+        multi = bl.vmult_multi(bvk)
+        for k, v in enumerate(vs):
+            single = bl.vmult(bl.from_dof_vector(v))
+            assert float(jnp.abs(multi[k] - single).max()) < 1e-12, (geo, k)
 
 
 @pytest.mark.parametrize("geo,nref,p", [("quadrant", 3, 2), ("step", 3, 1),
