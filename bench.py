@@ -52,17 +52,30 @@ def main():
     scale = jnp.float32(1e-3)
     r = op.vmult(src)
     _ = np.asarray(r[:1])  # compile + sync
-    # best-of-3 trials: the tunneled backend's throughput varies several-fold
-    # between minutes; min is the standard benchmark reduction (the reference
+    # best-of-N trials SPREAD OVER MINUTES: the tunneled backend's
+    # throughput varies 5-10x between minute-scale weather windows (PERF.md),
+    # so consecutive trials all land in one window; spacing them with short
+    # gaps samples several windows and min picks the best (the reference
     # reports min over ranks, benchmark_03.h:501-507)
+    n_trials = int(os.environ.get("BENCH_TRIALS", "6"))
+    gap_s = float(os.environ.get("BENCH_GAP_S", "15"))
     dt = float("inf")
-    for _trial in range(3):
+    windows = []
+    for _trial in range(n_trials):
         x = src
         t0 = time.perf_counter()
         for _ in range(n_reps):
             x = op.vmult(x * scale)
         _ = np.asarray(x[:1])
-        dt = min(dt, (time.perf_counter() - t0) / n_reps)
+        w = (time.perf_counter() - t0) / n_reps
+        windows.append(w)
+        dt = min(dt, w)
+        if _trial + 1 < n_trials and gap_s > 0:
+            time.sleep(gap_s)
+    print(
+        "windows_ms: " + " ".join(f"{w*1e3:.2f}" for w in windows),
+        file=sys.stderr,
+    )
 
     gdofs = mf.n_dofs / dt / 1e9
     print(

@@ -271,7 +271,10 @@ def run_benchmark(parameters_vector, dim=3, n_reps=100, table=None):
 
 
 def main(argv):
+    import os
+
     geometry_type = argv[1] if len(argv) > 1 else "quadrant"
+    n_reps = int(os.environ.get("BENCH_REPS", "100"))
     params = []
     if geometry_type == "json":
         for path in argv[2:]:
@@ -297,7 +300,7 @@ def main(argv):
                         vectorization_type=vtype,
                     )
                 )
-    run_benchmark(params)
+    run_benchmark(params, n_reps=n_reps)
 
 
 if __name__ == "__main__":

@@ -17,6 +17,10 @@ def sum_of_sines(points: np.ndarray) -> np.ndarray:
     return np.sin(points).sum(axis=-1)
 
 
+# axis-separable form consumed by DoFHandler.interpolate_values' fast path
+sum_of_sines.axis_fn = np.sin
+
+
 def interpolate(dof_handler, fn=sum_of_sines) -> np.ndarray:
     """Nodal interpolation into a DoF vector (VectorTools::interpolate).
 
