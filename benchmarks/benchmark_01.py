@@ -214,7 +214,14 @@ def run_benchmark(parameters_vector, dim=3, n_reps=100, table=None):
         # runtime verification that the requested vectorization type maps to
         # an available runner (the analog of the compiled-variant assertions
         # at benchmark_01.cc:126-158)
-        expected = {"index": "compact", "sorted": "sorted", "group": "all"}
+        # "matrix" is the TPU-native 4th runner (composite per-mask matmuls,
+        # no reference analog — the reference's three are README.md:27-57)
+        expected = {
+            "index": "compact",
+            "sorted": "sorted",
+            "group": "all",
+            "matrix": "matrix",
+        }
         if param.vectorization_type not in expected:
             raise ValueError(
                 f"unknown VectorizationType {param.vectorization_type!r}"

@@ -94,6 +94,8 @@ def run(
         )
         counts = np.bincount(dop.rank_of_cell, minlength=dop.n_ranks)
         table.add_value("engine", engine)
+        table.add_value("p", degree)
+        table.add_value("n_ref", n_refinements)
         table.add_value("weight", round(float(w), 2))
         table.add_value("t_min", res.min)
         table.set_scientific("t_min", True)
@@ -116,6 +118,8 @@ def run(
 
 
 if __name__ == "__main__":
+    import os
+
     geometry = sys.argv[1] if len(sys.argv) > 1 else "quadrant"
     n_ref = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     degree = int(sys.argv[3]) if len(sys.argv) > 3 else 2
@@ -126,6 +130,7 @@ if __name__ == "__main__":
         degree,
         csv_prefix=prefix,
         perform_communication="--no-comm" not in sys.argv,
+        n_reps=int(os.environ.get("BENCH_REPS", "100")),
         weights=np.arange(1.0, 10.05, 0.5) if "--coarse" in sys.argv else None,
         exchange="halo" if "--halo" in sys.argv else "allgather",
         engine="bricks" if "--bricks" in sys.argv else "index",

@@ -1,0 +1,66 @@
+"""Vector-valued elasticity vmult benchmark (SURVEY §7 stretch item;
+BASELINE configs). Times the 3-component elasticity operator's ±constraints
+pair on the AMR quadrant geometry with the same interleaved window protocol
+as benchmark_03, reporting component-DoF throughput.
+
+  python benchmarks/elasticity_01.py [nref] [degree] [n_windows]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import dealii_matrixfree_hanging_nodes_tpu as mfhn
+from dealii_matrixfree_hanging_nodes_tpu.matrix_free import MatrixFree
+from dealii_matrixfree_hanging_nodes_tpu.models.elasticity import ElasticityOperator
+from dealii_matrixfree_hanging_nodes_tpu.utils.table import ConvergenceTable
+from dealii_matrixfree_hanging_nodes_tpu.utils.timing import repeat_timed_paired
+
+
+def run(nref=5, degree=2, n_windows=3, n_reps=50, dtype=np.float32):
+    tria = mfhn.create_quadrant(3, nref)
+    mf = MatrixFree(tria, degree, dtype=dtype)
+    op_c = ElasticityOperator(mf, mu=1.0, lam=1.0, constraints=True)
+    op_p = ElasticityOperator(mf, mu=1.0, lam=1.0, constraints=False)
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(
+        rng.standard_normal((mf.n_dofs, 3)).astype(dtype)
+    )
+    scale = jnp.asarray(1e-3, dtype)
+    res_c, res_p = repeat_timed_paired(
+        [lambda x: op_c.vmult(x * scale), lambda x: op_p.vmult(x * scale)],
+        [src, src], n_reps=n_reps, n_trials=n_windows,
+    )
+    table = ConvergenceTable()
+    table.add_value("operator", "elasticity3")
+    table.add_value("n_ref", nref)
+    table.add_value("degree", degree)
+    table.add_value("n_cells", mf.n_cells)
+    table.add_value("n_cells_hn", mf.constraints.n_constrained_cells)
+    table.add_value("n_dofs_total", 3 * mf.n_dofs)
+    table.add_value("time_min", res_c.min)
+    table.set_scientific("time_min", True)
+    table.add_value("time_min_plain", res_p.min)
+    table.set_scientific("time_min_plain", True)
+    table.add_value("GDoFs_per_s", 3 * mf.n_dofs / res_c.min / 1e9)
+    win = [
+        100.0 * (tc / tp - 1.0) for tc, tp in zip(res_c.times, res_p.times)
+    ]
+    table.add_value("overhead_windows", "/".join(f"{w:.1f}" for w in win))
+    table.add_value("overhead_median", round(float(np.median(win)), 2))
+    print(table.write_text())
+    print("DONE-ALL")
+    return table
+
+
+if __name__ == "__main__":
+    run(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 5,
+        int(sys.argv[2]) if len(sys.argv) > 2 else 2,
+        int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+    )

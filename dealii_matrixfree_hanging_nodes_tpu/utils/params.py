@@ -21,7 +21,7 @@ class BenchmarkParameters:
     setup_only_fast_algorithm: bool = True
     test_high_order_mapping: bool = False
     categorize: bool = False
-    vectorization_type: str = "index"  # index | sorted | group
+    vectorization_type: str = "index"  # index | sorted | group | matrix
     print_details: bool = True
 
     _JSON_KEYS = {
@@ -60,10 +60,14 @@ class BenchmarkParameters:
 
     @property
     def hn_mode(self) -> str:
-        """Map the reference's VectorizationType to our kernel variants."""
-        return {"index": "compact", "sorted": "sorted", "group": "all"}[
-            self.vectorization_type
-        ]
+        """Map the reference's VectorizationType to our kernel variants
+        ("matrix" is the TPU-native 4th runner with no reference analog)."""
+        return {
+            "index": "compact",
+            "sorted": "sorted",
+            "group": "all",
+            "matrix": "matrix",
+        }[self.vectorization_type]
 
 
 def generate_parameter_files(
