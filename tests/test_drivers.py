@@ -105,3 +105,41 @@ def test_solve_01_driver():
     row = table.rows()[0]
     assert row["iters"] <= row["iters_unprec"]
     assert row["err"] < 1e-6
+
+
+def test_elasticity_01_driver():
+    from benchmarks import elasticity_01
+
+    table = elasticity_01.run(nref=3, degree=2, n_windows=2, n_reps=2,
+                              dtype=np.float64)
+    row = table.rows()[0]
+    assert row["n_dofs_total"] == 3 * (row["n_dofs_total"] // 3)
+    assert row["time_min"] > 0 and row["time_min_plain"] > 0
+
+
+def test_variant_matrix_all_runners_agree():
+    """The four HN runners produce identical t-matrix censuses and all
+    time positively (the timing itself is hardware-dependent)."""
+    from benchmarks import benchmark_01
+    from dealii_matrixfree_hanging_nodes_tpu.utils.params import (
+        BenchmarkParameters,
+    )
+
+    rows = []
+    for v in ("index", "sorted", "group", "matrix"):
+        p = BenchmarkParameters(
+            geometry_type="quadrant",
+            n_refinements=3,
+            degree=2,
+            setup_only_fast_algorithm=True,
+            vectorization_type=v,
+        )
+        table = benchmark_01.run_benchmark([p], n_reps=1)
+        rows.append(table.rows()[-1])
+    # cell-level census is variant-independent; the BATCH census is not
+    # (the sorted runner repacks batches by mask, like the reference's
+    # categorize option, benchmark_01.h:258-284)
+    for k in ("n_cells", "n_cells_hn", "n_dofs"):
+        assert len({r[k] for r in rows}) == 1
+    for r in rows:
+        assert r["t5"] > 0
