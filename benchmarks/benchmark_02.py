@@ -14,8 +14,10 @@ algorithm path.
         [--bricks] [--no-comm] [--coarse] [--halo] [--slow-ok]
 
 --bricks runs the sweep on the distributed BRICK engine (the flagship path):
-bricks repartition along the weighted Morton curve, the DSS boundary pools
-and the constraint-chain all_gather are the measured exchanges.
+bricks repartition along the weighted Morton curve; the measured exchange is
+the neighbor-wise halo (--halo: pairwise boundary-pool partials + chain need
+sets) or the replicated mode (default, like the index engine's allgather:
+psum'd boundary pools + all_gathered chain rows).
 """
 
 from __future__ import annotations
@@ -69,8 +71,11 @@ def run(
                 DistributedBrickLaplace,
             )
 
+            # map the index engine's exchange names onto the brick engine's
+            # ("allgather" = the replicated boundary-pool/chain mode)
             dop = DistributedBrickLaplace(
-                mf, weights=cw, perform_communication=perform_communication
+                mf, weights=cw, perform_communication=perform_communication,
+                exchange="halo" if exchange == "halo" else "replicated",
             )
             x0 = dop.from_dof_vector(src0)
             counts_of = lambda d: np.bincount(
@@ -120,10 +125,11 @@ def run(
 if __name__ == "__main__":
     import os
 
-    geometry = sys.argv[1] if len(sys.argv) > 1 else "quadrant"
-    n_ref = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    degree = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    prefix = sys.argv[4] if len(sys.argv) > 4 else None
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    geometry = args[0] if len(args) > 0 else "quadrant"
+    n_ref = int(args[1]) if len(args) > 1 else 4
+    degree = int(args[2]) if len(args) > 2 else 2
+    prefix = args[3] if len(args) > 3 else None
     run(
         geometry,
         n_ref,

@@ -249,15 +249,19 @@ class BrickStructure:
         nnode = self.n_bricks * NB**dim
         node_dof = np.full(nnode, -1, dtype=np.int32)
         cd32 = np.asarray(mf.dof_handler.cell_dofs, dtype=np.int32)
-        bo32 = brick_of_cell.astype(np.int32)
+        # flat node ids must use the owner dtype: int32 arithmetic would
+        # silently wrap once nnode >= 2^31 (the case the odt branch below
+        # exists for)
+        ndt = np.int32 if nnode <= np.iinfo(np.int32).max else np.int64
+        bo_n = brick_of_cell.astype(ndt)
         # chunked: the full flat_nodes array is another [n_cells, n_loc]
         # int32 (1 GB at nref=8); fixed-size chunks reuse the same pages
         cstep = max(1, 40_000_000 // n_loc)
         for s in range(0, tria.n_active_cells, cstep):
             e = min(s + cstep, tria.n_active_cells)
             fn_ = (
-                bo32[s:e, None] * np.int32(NB**dim)
-                + self.cell_node_index_range(s, e)
+                bo_n[s:e, None] * ndt(NB**dim)
+                + self.cell_node_index_range(s, e).astype(ndt, copy=False)
             )
             node_dof[fn_.ravel()] = cd32[s:e].ravel()
         self.node_dof = node_dof  # -1 at holes
@@ -511,13 +515,20 @@ class BrickLaplace:
             )
         self._levels = levels
 
-        # node coverage by present cells (for averaging writes in the fill)
-        cov = np.zeros(bs.n_bricks * NB**3)
-        np.add.at(
-            cov,
-            (bs.brick_of_cell[:, None] * NB**3 + bs.cell_node_index).ravel(),
-            1.0,
-        )
+        # node coverage by present cells (for averaging writes in the fill);
+        # chunked like the node_dof build — the full cell_node_index is
+        # another [n_cells, n_loc] array (1 GB at nref=8) — and bincount
+        # instead of ufunc.at (~10x)
+        nnode_cov = bs.n_bricks * NB**3
+        cov = np.zeros(nnode_cov)
+        _cstep = max(1, 40_000_000 // n_loc)
+        for s in range(0, len(bs.brick_of_cell), _cstep):
+            e = min(s + _cstep, len(bs.brick_of_cell))
+            idx = (
+                bs.brick_of_cell[s:e, None].astype(np.int64) * NB**3
+                + bs.cell_node_index_range(s, e)
+            )
+            cov += np.bincount(idx.ravel(), minlength=nnode_cov)
         inv_cov = np.where(cov > 0, 1.0 / np.maximum(cov, 1), 0.0)
 
         n_pad = ((n_loc + 127) // 128) * 128
@@ -826,6 +837,7 @@ class BrickLaplaceMM:
         # 'default' = fastest (bf16 multiplies), 'high' = 3-pass bf16
         # (~f32 accuracy), 'highest' = exact f32
         self._precision = matmul_precision
+
         self.bs = bs = BrickStructure(mf, brick_size)
         p, B, NB, dim = bs.p, bs.B, bs.NB, bs.dim
         self.n = n = p + 1
@@ -1219,6 +1231,15 @@ class BrickLaplaceMM:
             self._vmult_deformed_impl if self._deformed else self._vmult_impl
         )
 
+
+    @property
+    def _matmul_precision(self):
+        """XLA matmul-precision name for self._precision ('high' means the
+        3-pass tf32-class mode; shared by every vmult/refill entry point so
+        they can never diverge)."""
+        return {"default": "default", "high": "tensorfloat32",
+                "highest": "highest"}.get(self._precision, self._precision)
+
     def _stage(self):
         if self.arrays is None:
             staged = jax.tree.map(jnp.asarray, self._np_arrays)
@@ -1541,8 +1562,7 @@ class BrickLaplaceMM:
         return jnp.where(a["node_valid"], v, 0.0)
 
     def refill(self, bv):
-        prec = {"default": "default", "high": "tensorfloat32",
-                "highest": "highest"}.get(self._precision, self._precision)
+        prec = self._matmul_precision
         if not hasattr(self, "_jit_refill"):
             self._jit_refill = jax.jit(self._refill_impl)
         with jax.default_matmul_precision(prec):
@@ -1628,8 +1648,7 @@ class BrickLaplaceMM:
         )
 
     def vmult_plain(self, bv):
-        prec = {"default": "default", "high": "tensorfloat32",
-                "highest": "highest"}.get(self._precision, self._precision)
+        prec = self._matmul_precision
         if not hasattr(self, "_jit_vmult_plain"):
             self._jit_vmult_plain = jax.jit(
                 self._vmult_plain_deformed_impl
@@ -1659,8 +1678,7 @@ class BrickLaplaceMM:
     def vmult(self, bv):
         import jax as _jax
 
-        prec = {"default": "default", "high": "tensorfloat32",
-                "highest": "highest"}.get(self._precision, self._precision)
+        prec = self._matmul_precision
         with _jax.default_matmul_precision(prec):
             return self._jit_vmult(bv, self._stage())
 
@@ -1896,7 +1914,6 @@ class BrickLaplaceMM:
         cache = self.__dict__.setdefault("_jit_vmult_multi_k", {})
         if k not in cache:
             cache[k] = _jax.jit(partial(self._vmult_multi_impl, k=k))
-        prec = {"default": "default", "high": "tensorfloat32",
-                "highest": "highest"}.get(self._precision, self._precision)
+        prec = self._matmul_precision
         with _jax.default_matmul_precision(prec):
             return cache[k](bvk, self._stage())

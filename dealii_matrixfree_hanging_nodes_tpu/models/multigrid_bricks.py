@@ -237,7 +237,6 @@ class BrickTransfer:
     def _restrict_impl(self, rf_b, d, ac, af, sc, wf):
         """Exact adjoint on the reduced space: rc = S_c(S_c^T(P_b^T(W_f r)))."""
         yw = rf_b * wf
-        zshape = jax.ShapeDtypeStruct(rf_b.shape, rf_b.dtype)
         xc_shape = jax.ShapeDtypeStruct(
             (self.mm_c.bs.n_bricks, self.mm_c.N3p), rf_b.dtype
         )
@@ -248,7 +247,6 @@ class BrickTransfer:
         (rc_dof,) = jax.linear_transpose(
             lambda x: self._sc_embed(x, sc), dof_shape
         )(z)
-        del zshape
         return self._sc_embed(rc_dof, sc)
 
     # ---------------------------------------------------------------- API
@@ -325,25 +323,40 @@ class BrickGMGPreconditioner:
             self.mms.append(
                 BrickLaplaceMM(mf, matmul_precision=matmul_precision)
             )
-        self.ops = [BrickDirichletLaplace(mm) for mm in self.mms]
-        # coarsest-level solver: "direct" applies a host-assembled dense
-        # inverse as one device matmul (an iterative coarse solve at f32
-        # on-chip spins at tight tolerances and pays ~0.4 ms dispatch per
-        # CG step through the tunnel); "cg" keeps the f64/CPU behavior
+        # ---- host phase: ALL NumPy-heavy setup BEFORE the first device
+        # use (CLAUDE.md: once the TPU backend initializes, host NumPy
+        # slows ~50-100x on the shared vCPU) --------------------------------
         self._coarse_direct = coarse == "direct"
+        inv_diags = []
+        for mf in self.levels:
+            # exact probing diagonal (host formula == the index engine's
+            # device probing, so iteration counts match the index GMG);
+            # Dirichlet rows get diagonal 1
+            diag = laplace_diagonal_host(mf)
+            diag[mf.dof_handler.boundary_dofs()] = 1.0
+            safe = np.where(diag > 0, diag, 1.0)
+            inv_diags.append(np.where(diag > 0, 1.0 / safe, 0.0))
         if self._coarse_direct:
+            # coarsest-level solver: "direct" applies a host-assembled dense
+            # inverse as one device matmul (an iterative coarse solve at f32
+            # on-chip spins at tight tolerances and pays ~0.4 ms dispatch per
+            # CG step through the tunnel); "cg" keeps the f64/CPU behavior
             from ..oracle import assemble_laplace
 
             mf0, mm0 = self.levels[0], self.mms[0]
             A, Cm, _, _ = assemble_laplace(mf0.tria, degree)
             M = np.asarray((Cm.T @ A @ Cm).todense())
             fixed = np.zeros(mf0.n_dofs, dtype=bool)
-            fixed[self.ops[0]._bdofs] = True
+            fixed[mf0.dof_handler.boundary_dofs()] = True
             fixed |= mf0.constraints.constrained_dof_marker()
             M[fixed, :] = 0.0
             M[:, fixed] = 0.0
             M[fixed, fixed] = 1.0
             Minv = np.linalg.inv(M)
+
+        # ---- device phase --------------------------------------------------
+        self.ops = [BrickDirichletLaplace(mm) for mm in self.mms]
+        if self._coarse_direct:
             self._embed0 = DofEmbed(mm0)
             sc0 = self._embed0.tables
             Minv_d = jnp.asarray(Minv.astype(mf0.dtype))
@@ -355,14 +368,8 @@ class BrickGMGPreconditioner:
             self._jit_coarse = jax.jit(_coarse)
             self._coarse_args = (Minv_d.T, sc0)
         self.smoothers = []
-        for op, mm, mf in zip(self.ops, self.mms, self.levels):
-            # exact probing diagonal (host formula == the index engine's
-            # device probing, so iteration counts match the index GMG);
-            # Dirichlet rows get diagonal 1
-            diag = laplace_diagonal_host(mf)
-            diag[op._bdofs] = 1.0
-            safe = np.where(diag > 0, diag, 1.0)
-            inv = np.where(diag > 0, 1.0 / safe, 0.0)
+        for op, mm, mf, inv in zip(self.ops, self.mms, self.levels,
+                                   inv_diags):
             inv_b = mm.from_dof_vector(inv.astype(mf.dtype))
             self.smoothers.append(BrickChebyshev(op, inv_b, degree=n_smooth))
         self.transfers = [

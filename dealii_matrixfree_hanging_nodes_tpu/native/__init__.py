@@ -36,6 +36,20 @@ def _try_build() -> None:
         pass
 
 
+_ABI_VERSION = 2  # must match hn_abi_version() in setup_core.cc
+
+
+def _abi_ok(lib) -> bool:
+    """Reject a stale library built before an ABI change (e.g. the int64 ->
+    int32 gid-output switch): using the wrong dtype width through ctypes
+    silently overruns the output buffers."""
+    if not hasattr(lib, "hn_abi_version"):
+        return False
+    lib.hn_abi_version.restype = ctypes.c_int64
+    lib.hn_abi_version.argtypes = []
+    return int(lib.hn_abi_version()) == _ABI_VERSION
+
+
 def get_lib():
     global _lib
     if _lib is not None:
@@ -45,6 +59,18 @@ def get_lib():
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
+        if not _abi_ok(lib):
+            # stale binary: force a rebuild and reload once
+            try:
+                subprocess.run(
+                    ["make", "-s", "-B", "-C", _HERE],
+                    check=True, capture_output=True, timeout=120,
+                )
+                lib = ctypes.CDLL(_LIB_PATH)
+            except Exception:
+                return None
+            if not _abi_ok(lib):
+                return None
         lib.hn_balance_flags.restype = ctypes.c_int64
         lib.hn_balance_flags.argtypes = [
             ctypes.c_int32,

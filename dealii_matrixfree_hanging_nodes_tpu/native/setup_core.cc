@@ -30,6 +30,12 @@ inline int64_t pack_key(int dim, int64_t level, const int64_t *coord) {
 
 extern "C" {
 
+// ABI version of this library. Bump on any signature/dtype change (the
+// ctypes loader refuses to use a library with a different version — a
+// stale .so with int64 gid outputs would otherwise overrun the int32
+// buffers the loader now passes).
+int64_t hn_abi_version() { return 2; }
+
 // One balance iteration. Returns the number of flagged cells; flags[i] = 1
 // where the active cell must be refined (it is >= 2 levels coarser than a
 // face/edge neighbor). Arrays: level[n], coord[n*dim] (C order).
