@@ -110,26 +110,42 @@ class ChebyshevSmoother:
     """Chebyshev iteration preconditioned by the operator diagonal
     (the smoother of the reference author's multigrid papers)."""
 
-    def __init__(self, op, diag: jnp.ndarray, degree: int = 4,
-                 eig_ratio: float = 1.2, n_power_iters: int = 12):
+    def __init__(self, op, diag: jnp.ndarray = None, degree: int = 4,
+                 eig_ratio: float = 1.2, n_power_iters: int = 12,
+                 inv_diag: jnp.ndarray = None, x_init: jnp.ndarray = None):
+        """Subclasses customize the vector layout through the `_prec` /
+        `_norm` hooks (e.g. BrickChebyshev refills the hanging-node
+        invariant after every D^{-1}); the eigenvalue estimate and the
+        three-term recurrence are shared so the variants can never drift
+        apart numerically."""
         self.op = op
         self.degree = degree
-        safe = jnp.where(diag > 0, diag, 1.0)
-        self.inv_diag = jnp.where(diag > 0, 1.0 / safe, 0.0)
+        if inv_diag is None:
+            safe = jnp.where(diag > 0, diag, 1.0)
+            inv_diag = jnp.where(diag > 0, 1.0 / safe, 0.0)
+        self.inv_diag = inv_diag
         # power iteration for lambda_max of D^{-1} A; works on any vector
         # layout (1D global or sharded padded [R, n_own_max]); device scalars
         # throughout — one host sync at the end
-        x = jnp.asarray(
-            np.random.default_rng(7).standard_normal(diag.shape), diag.dtype
+        x = x_init if x_init is not None else jnp.asarray(
+            np.random.default_rng(7).standard_normal(inv_diag.shape),
+            inv_diag.dtype,
         )
-        lam = jnp.asarray(1.0, diag.dtype)
+        lam = jnp.asarray(1.0, inv_diag.dtype)
         for _ in range(n_power_iters):
-            y = self.inv_diag * self.op.vmult(x)
-            ny = jnp.linalg.norm(y.reshape(-1))
-            lam = ny / jnp.linalg.norm(x.reshape(-1))
+            y = self._prec(self.op.vmult(x))
+            ny = self._norm(y)
+            lam = ny / self._norm(x)
             x = y / ny
         self.lmax = float(lam) * 1.1
         self.lmin = self.lmax / (eig_ratio * 10.0)
+
+    def _prec(self, r):
+        """One D^{-1} application (hook)."""
+        return self.inv_diag * r
+
+    def _norm(self, v):
+        return jnp.linalg.norm(v.reshape(-1))
 
     def apply(self, b: jnp.ndarray, x0=None) -> jnp.ndarray:
         """Standard three-term Chebyshev recurrence on D^{-1}(b - A x)."""
@@ -139,12 +155,12 @@ class ChebyshevSmoother:
         r = b - self.op.vmult(x) if x0 is not None else b
         sigma = theta / delta
         rho = 1.0 / sigma
-        d = self.inv_diag * r / theta
+        d = self._prec(r) / theta
         for _ in range(self.degree):
             x = x + d
             r = b - self.op.vmult(x)
             rho_new = 1.0 / (2.0 * sigma - rho)
-            d = rho_new * rho * d + 2.0 * rho_new / delta * (self.inv_diag * r)
+            d = rho_new * rho * d + 2.0 * rho_new / delta * self._prec(r)
             rho = rho_new
         return x
 

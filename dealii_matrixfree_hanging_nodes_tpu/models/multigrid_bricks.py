@@ -38,7 +38,12 @@ import jax.numpy as jnp
 from ..bricks import BrickLaplaceMM
 from ..matrix_free import MatrixFree
 from ..mesh import create_geometry
-from .multigrid import covering_embedding, laplace_diagonal_host, solve_cg
+from .multigrid import (
+    ChebyshevSmoother,
+    covering_embedding,
+    laplace_diagonal_host,
+    solve_cg,
+)
 
 __all__ = [
     "BrickDirichletLaplace",
@@ -263,47 +268,31 @@ class BrickTransfer:
 
 
 # --------------------------------------------------------------------------
-class BrickChebyshev:
+class BrickChebyshev(ChebyshevSmoother):
     """Chebyshev smoother on brick vectors: diagonal scaling breaks the
-    hanging invariant pointwise, so each D^{-1} application is refilled."""
+    hanging invariant pointwise, so each D^{-1} application is refilled.
+    The eigenvalue estimate and recurrence are inherited — only the `_prec`
+    / `_norm` hooks differ, so brick and index GMG iteration counts stay
+    in lock-step by construction."""
 
     def __init__(self, op: BrickDirichletLaplace, inv_diag_b, degree: int = 3,
                  eig_ratio: float = 1.2, n_power_iters: int = 12):
-        self.op = op
-        self.degree = degree
         mm = op.mm
-        self.inv_diag = inv_diag_b
+        self._mm = mm  # needed by the hooks during the base power iteration
         rng = np.random.default_rng(7)
-        x = mm.from_dof_vector(
+        x0 = mm.from_dof_vector(
             rng.standard_normal(mm.mf.n_dofs).astype(mm.mf.dtype)
         )
-        lam = jnp.asarray(1.0, inv_diag_b.dtype)
-        for _ in range(n_power_iters):
-            y = mm.refill(self.inv_diag * self.op.vmult(x))
-            ny = jnp.sqrt(mm.dot(y, y))
-            lam = ny / jnp.sqrt(mm.dot(x, x))
-            x = y / ny
-        self.lmax = float(lam) * 1.1
-        self.lmin = self.lmax / (eig_ratio * 10.0)
+        super().__init__(
+            op, degree=degree, eig_ratio=eig_ratio,
+            n_power_iters=n_power_iters, inv_diag=inv_diag_b, x_init=x0,
+        )
 
-    def apply(self, b, x0=None):
-        op, mm = self.op, self.op.mm
-        theta = 0.5 * (self.lmax + self.lmin)
-        delta = 0.5 * (self.lmax - self.lmin)
-        x = jnp.zeros_like(b) if x0 is None else x0
-        r = b - op.vmult(x) if x0 is not None else b
-        sigma = theta / delta
-        rho = 1.0 / sigma
-        d = mm.refill(self.inv_diag * r) / theta
-        for _ in range(self.degree):
-            x = x + d
-            r = b - op.vmult(x)
-            rho_new = 1.0 / (2.0 * sigma - rho)
-            d = rho_new * rho * d + (2.0 * rho_new / delta) * mm.refill(
-                self.inv_diag * r
-            )
-            rho = rho_new
-        return x
+    def _prec(self, r):
+        return self._mm.refill(self.inv_diag * r)
+
+    def _norm(self, v):
+        return jnp.sqrt(self._mm.dot(v, v))
 
 
 # --------------------------------------------------------------------------
