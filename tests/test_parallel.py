@@ -168,12 +168,21 @@ def test_distributed_bricks_weighted_repartition():
     assert d1.n_ghost.sum() > 0 and d1.n_import.sum() > 0
 
 
-def test_distributed_bricks_halo_vs_replicated():
+@pytest.mark.parametrize(
+    "geometry,nref,degree",
+    [
+        ("quadrant", 4, 3),
+        # annulus: ~80% constrained cells — the stress case for the
+        # chain-halo need sets (multi-level fold/fill across ranks)
+        ("annulus", 4, 2),
+    ],
+)
+def test_distributed_bricks_halo_vs_replicated(geometry, nref, degree):
     """The neighbor-wise (pairwise all_to_all) exchange equals the
     replicated psum/all_gather baseline to machine precision, with far
     less traffic (benchmark_02.cc:136-165 ghost-index-list analog)."""
-    tria = mfhn.create_quadrant(3, 4)
-    mf = MatrixFree(tria, degree=3, dtype=np.float64)
+    tria = mfhn.create_geometry(geometry, 3, nref)
+    mf = MatrixFree(tria, degree=degree, dtype=np.float64)
     rng = np.random.default_rng(3)
     u = rng.standard_normal(mf.n_dofs)
     d_halo = DistributedBrickLaplace(mf, devices=jax.devices()[:8])
@@ -184,7 +193,10 @@ def test_distributed_bricks_halo_vs_replicated():
     out_r = d_rep.to_dof_vector(d_rep.vmult(d_rep.from_dof_vector(u)))
     assert np.abs(out_h - out_r).max() / np.abs(out_r).max() < 1e-12
     # halo ghost volume must be well below the replicated exchange volume
-    assert 0 < d_halo.n_ghost.sum() < d_rep.n_ghost.sum() / 3
+    # (it can legitimately be ZERO when every shared pool and chain
+    # component is rank-local, as on annulus r4/8dev)
+    assert d_rep.n_ghost.sum() > 0
+    assert d_halo.n_ghost.sum() < d_rep.n_ghost.sum() / 3
 
 
 def test_distributed_bricks_dot_and_cg():
