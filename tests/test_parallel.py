@@ -173,8 +173,9 @@ def test_distributed_bricks_weighted_repartition():
     [
         ("quadrant", 4, 3),
         # annulus: ~80% constrained cells — the stress case for the
-        # chain-halo need sets (multi-level fold/fill across ranks)
-        ("annulus", 4, 2),
+        # chain-halo need sets (multi-level fold/fill across ranks);
+        # r4 is a single brick, r5 has 41 over the 8 ranks
+        ("annulus", 5, 2),
     ],
 )
 def test_distributed_bricks_halo_vs_replicated(geometry, nref, degree):
@@ -193,8 +194,6 @@ def test_distributed_bricks_halo_vs_replicated(geometry, nref, degree):
     out_r = d_rep.to_dof_vector(d_rep.vmult(d_rep.from_dof_vector(u)))
     assert np.abs(out_h - out_r).max() / np.abs(out_r).max() < 1e-12
     # halo ghost volume must be well below the replicated exchange volume
-    # (it can legitimately be ZERO when every shared pool and chain
-    # component is rank-local, as on annulus r4/8dev)
     assert d_rep.n_ghost.sum() > 0
     assert d_halo.n_ghost.sum() < d_rep.n_ghost.sum() / 3
 
