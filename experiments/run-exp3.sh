@@ -1,8 +1,7 @@
 #!/usr/bin/env bash
-# Vectorization-type comparison (experiments/run-exp3*.sh analog):
-# index (compact) vs sorted (categorize) vs group (masked-all) HN runners.
+# Vectorization-type comparison (experiments/run-exp3*.sh analog): all four
+# HN runners — index (compact), sorted (categorize), group (masked-all),
+# and the TPU-native matrix (composite matmuls) — head-to-head per degree.
 set -e
 cd "$(dirname "$0")/.."
-for vtype in index sorted group; do
-  python benchmarks/benchmark_01.py quadrant 5 5 4 4 0 0 "$vtype" | tee "results_vtype_${vtype}"
-done
+python experiments/variant_matrix.py quadrant 5 1 6 | tee results_variant_matrix
