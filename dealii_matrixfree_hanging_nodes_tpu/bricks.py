@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -94,6 +96,36 @@ class _TransferGroup:
     src_slots: np.ndarray  # [k]
     dst_slots: np.ndarray  # [k]
     level: int = 0  # refinement level of the fine cells
+
+
+def _pool_contrib_table(pool_id, n_pools, include_self):
+    """Per-slot contributor lists for a pool assignment.
+
+    pool_id: [nb, k] slot -> pool map. Returns an int32 table
+    [nb*k, maxc] (or [nb*k, maxc-1] when include_self=False) whose row r
+    lists the flat slot indices sharing r's pool in pool-canonical order,
+    padded with the sentinel nb*k (consumers append one zero row). This
+    turns the DSS pool scatter-add + gather-back into pure gathers: every
+    copy of a shared interface reads its contributors directly
+    (owner-computes-all, no XLA scatter on the hot path)."""
+    flat = pool_id.reshape(-1).astype(np.int64)
+    ns = flat.shape[0]
+    if ns == 0:
+        return np.zeros((0, 1), dtype=np.int32)
+    order = np.argsort(flat, kind="stable")
+    sorted_p = flat[order]
+    starts = np.searchsorted(sorted_p, np.arange(n_pools))
+    maxc = int(np.bincount(flat, minlength=n_pools).max())
+    table = np.full((n_pools, maxc), ns, dtype=np.int64)
+    rank = np.arange(ns) - starts[sorted_p]
+    table[sorted_p, rank] = order
+    full = table[flat]  # [ns, maxc], each row contains r itself once
+    if include_self:
+        return full.astype(np.int32)
+    selfpos = np.argmax(full == np.arange(ns)[:, None], axis=1)
+    keep = np.ones((ns, maxc), dtype=bool)
+    keep[np.arange(ns), selfpos] = False
+    return full[keep].reshape(ns, maxc - 1).astype(np.int32)
 
 
 def auto_brick_size(degree: int, dim: int = 3) -> int:
@@ -385,6 +417,21 @@ class BrickStructure:
         uck, cinv = np.unique(ckk, return_inverse=True)
         self.corner_pool_id = cinv.reshape(2**dim, nb).T.copy()  # [nb, 2^dim]
         self.n_corner_pools = len(uck)
+
+        # gather-only ("pair") DSS tables: faces pair at most 2 bricks, so
+        # each face slot has exactly one partner (or the sentinel); edge and
+        # corner copies sum their full contributor list in pool-canonical
+        # order so all copies of a shared entity stay bit-identical.
+        self.face_other = _pool_contrib_table(
+            self.face_pool_id, self.n_face_pools, include_self=False
+        )
+        assert self.face_other.shape[1] <= 1
+        self.edge_contrib = _pool_contrib_table(
+            self.edge_pool_id, self.n_edge_pools, include_self=True
+        )
+        self.corner_contrib = _pool_contrib_table(
+            self.corner_pool_id, self.n_corner_pools, include_self=True
+        )
 
     # ------------------------------------------------------------- transfers
     def _build_transfers(self):
@@ -829,11 +876,17 @@ class BrickLaplaceMM:
     """
 
     def __init__(self, mf: MatrixFree, brick_size: int | None = None,
-                 matmul_precision: str = "high", main_path: str = "separable"):
+                 matmul_precision: str = "high", main_path: str = "separable",
+                 dss_mode: str | None = None):
         if main_path not in ("separable", "dense"):
             raise ValueError(f"unknown main_path {main_path!r}")
+        if dss_mode is None:
+            dss_mode = os.environ.get("BRICK_DSS", "pool")
+        if dss_mode not in ("pool", "pair"):
+            raise ValueError(f"unknown dss_mode {dss_mode!r}")
         self.mf = mf
         self.main_path = main_path
+        self._dss_mode = dss_mode
         # 'default' = fastest (bf16 multiplies), 'high' = 3-pass bf16
         # (~f32 accuracy), 'highest' = exact f32
         self._precision = matmul_precision
@@ -1162,6 +1215,9 @@ class BrickLaplaceMM:
             face_pool_id=np.asarray(bs.face_pool_id.astype(np.int32)),
             edge_pool_id=np.asarray(bs.edge_pool_id.astype(np.int32)),
             corner_pool_id=np.asarray(bs.corner_pool_id.astype(np.int32)),
+            face_other=np.asarray(bs.face_other),
+            edge_contrib=np.asarray(bs.edge_contrib),
+            corner_contrib=np.asarray(bs.corner_contrib),
             geo_sub=np.asarray(geo_brick[sub_ids], dtype=mf.dtype),
             geo_cell_sub=np.asarray(
                 np.repeat(geo_brick[sub_ids], C), dtype=mf.dtype
@@ -1296,7 +1352,16 @@ class BrickLaplaceMM:
 
     # ------------------------------------------------------------------ dss
     def _dss_surface(self, surf, a):
-        """Pool face/[edge]/corner interface classes on [nb, n_surf] arrays."""
+        """Pool face/[edge]/corner interface classes on [nb, n_surf] arrays.
+
+        dss_mode='pool': scatter-add into per-pool rows, gather back.
+        dss_mode='pair': gather-only — every interface copy reads its
+        contributors directly from the per-slot tables (faces have exactly
+        one partner; edge/corner copies sum the full contributor list in
+        pool-canonical order so duplicates stay bit-identical). Removes the
+        XLA scatter from the vmult hot path."""
+        if self._dss_mode == "pair":
+            return self._dss_surface_pair(surf, a)
         bs = self.bs
         nb = bs.n_bricks
         dim = bs.dim
@@ -1326,6 +1391,45 @@ class BrickLaplaceMM:
         cpool = jnp.zeros((bs.n_corner_pools,), surf.dtype)
         cpool = cpool.at[a["corner_pool_id"].reshape(-1)].add(cblock.reshape(-1))
         parts.append(cpool[a["corner_pool_id"].reshape(-1)].reshape(nb, ncorner))
+        return jnp.concatenate(parts, axis=1)
+
+    def _dss_surface_pair(self, surf, a):
+        bs = self.bs
+        nb = bs.n_bricks
+        dim = bs.dim
+        nf = 2 * dim
+        fsize = (bs.NB - 2) ** (dim - 1)
+        fflat = surf[:, : nf * fsize].reshape(nb * nf, fsize)
+        if a["face_other"].shape[1]:
+            fpad = jnp.concatenate(
+                [fflat, jnp.zeros((1, fsize), fflat.dtype)], axis=0
+            )
+            fnew = fflat + jnp.take(fpad, a["face_other"][:, 0], axis=0)
+        else:
+            fnew = fflat
+        off = nf * fsize
+        parts = [fnew.reshape(nb, nf * fsize)]
+        if dim == 3:
+            esize = bs.NB - 2
+            eflat = surf[:, off : off + 12 * esize].reshape(nb * 12, esize)
+            epad = jnp.concatenate(
+                [eflat, jnp.zeros((1, esize), eflat.dtype)], axis=0
+            )
+            mc = a["edge_contrib"].shape[1]
+            enew = (
+                jnp.take(epad, a["edge_contrib"].reshape(-1), axis=0)
+                .reshape(nb * 12, mc, esize)
+                .sum(axis=1)
+            )
+            parts.append(enew.reshape(nb, 12 * esize))
+            off += 12 * esize
+        ncorner = 2**dim
+        cflat = surf[:, off : off + ncorner].reshape(-1)
+        cpad = jnp.concatenate([cflat, jnp.zeros((1,), cflat.dtype)])
+        cnew = jnp.take(cpad, a["corner_contrib"].reshape(-1)).reshape(
+            nb * ncorner, -1
+        ).sum(axis=1)
+        parts.append(cnew.reshape(nb, ncorner))
         return jnp.concatenate(parts, axis=1)
 
     # ------------------------------------------------- cols <-> brick domain

@@ -151,3 +151,21 @@ def test_bricks_deformed_mapping(dim, geometry, nref, degree):
     outp = mm.to_dof_vector(mm.vmult_plain(mm.from_dof_vector(u)),
                             zero_hanging=True)
     assert np.isfinite(outp).all()
+
+
+@pytest.mark.parametrize("geo,nref,p", [("quadrant", 3, 3), ("annulus", 4, 2)])
+def test_dss_pair_mode_matches_pool(geo, nref, p):
+    """The gather-only 'pair' DSS (per-slot contributor tables, no XLA
+    scatter on the hot path) is bit-identical to the pooled scatter-add
+    formulation on both the constrained and plain vmult."""
+    tria = mfhn.create_geometry(geo, 3, nref)
+    mf = MatrixFree(tria, degree=p, dtype=np.float64)
+    rng = np.random.default_rng(7)
+    u = rng.standard_normal(mf.n_dofs)
+    op_pool = BrickLaplaceMM(mf, matmul_precision="highest", dss_mode="pool")
+    op_pair = BrickLaplaceMM(mf, matmul_precision="highest", dss_mode="pair")
+    bv = op_pool.from_dof_vector(u)
+    for name in ("vmult", "vmult_plain"):
+        v1 = np.asarray(getattr(op_pool, name)(bv))
+        v2 = np.asarray(getattr(op_pair, name)(bv))
+        assert np.abs(v1 - v2).max() <= 1e-13 * np.abs(v1).max(), name
