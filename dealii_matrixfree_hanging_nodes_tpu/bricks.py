@@ -1560,11 +1560,13 @@ class BrickLaplaceMM:
                     )
                     final = final.at[lz["lin"]].set(zeroed)
             delta = final - plain
-            v = self._subset_scatter_add(v, self._scatter_cols(delta, a), a)
+            corr = self._scatter_cols(delta, a)  # [n_sub, N3p]
+        else:
+            corr = None
 
-        return self._dss_fill(v, a)
+        return self._dss_fill(v, a, corr)
 
-    def _dss_fill(self, v, a):
+    def _dss_fill(self, v, a, corr=None):
         """Steps 3-4, shared by the Cartesian and deformed paths:
         cross-brick DSS and the fill pass, both riding ONE extract/scatter
         pair on the extended exchange vector [nb, n_surfX] (surface nodes +
@@ -1574,11 +1576,23 @@ class BrickLaplaceMM:
         that the DSS scatters back — its marginal cost is the chain plus
         subset-sized matmuls, not the volume-sized pair it used to pay
         (which was the entire measured HN overhead of the constrained
-        vmult)."""
+        vmult).
+
+        corr (optional, [n_sub, N3p]) is the exceptional-subset correction
+        delta of the constrained vmult. Instead of scattering it into v
+        BEFORE the exchange (a second full-width subset pass — nb*n_sub*N3p
+        one-hot MACs at moderate sizes), its surface trace joins the
+        exchange vector, its rows join the fill's subset reads, and the
+        volume rows merge into the ONE final subset scatter together with
+        the fill's interior extension."""
         ns = self.n_surf  # static int
         surf = jnp.dot(v, a["Es"].T, preferred_element_type=v.dtype)
+        if corr is not None:
+            corr_surf = jnp.dot(corr, a["Es"].T, preferred_element_type=v.dtype)
+            surf = self._subset_scatter_add(surf, corr_surf, a)
         surf_new = self._dss_surface(surf, a)
         delta = surf_new - surf  # [nb, ns] — same width as the plain path
+        sub_upd = corr  # rows to land in the single final subset scatter
 
         # fill pass (restore the distributed invariant), exchange domain.
         # The interior extension (X nodes of straddling bricks) is read and
@@ -1587,7 +1601,10 @@ class BrickLaplaceMM:
         # masking needed first: hole-node values are ~0 after the absent
         # correction, and the fill reads entity rows of present cells only.)
         if self._n_sub and a["hn_sub"].shape[0]:
-            add = self._fill_updates(v, surf_new, a)
+            v_sub = jnp.take(v, a["sub_ids"], axis=0)
+            if corr is not None:
+                v_sub = v_sub + corr
+            add = self._fill_updates(v_sub, surf_new, a)
             # surface part rides the shared Es scatter-back; interior part
             # expands on the subset only
             delta = self._subset_scatter_add(delta, add[:, :ns], a)
@@ -1595,31 +1612,30 @@ class BrickLaplaceMM:
                 upd_int = jnp.dot(
                     add[:, ns:], a["EsI"], preferred_element_type=v.dtype
                 )
-                v = self._subset_scatter_add(v, upd_int, a)
+                sub_upd = upd_int if sub_upd is None else sub_upd + upd_int
 
         # one shared scatter-back; hole-node masking fused here
-        return jnp.where(
-            a["node_valid"],
-            v + jnp.dot(delta, a["Es"], preferred_element_type=v.dtype),
-            0.0,
-        )
+        out = v + jnp.dot(delta, a["Es"], preferred_element_type=v.dtype)
+        if sub_upd is not None:
+            out = self._subset_scatter_add(out, sub_upd, a)
+        return jnp.where(a["node_valid"], out, 0.0)
 
-    def _fill_updates(self, v, surf_vals, a):
+    def _fill_updates(self, v_sub, surf_vals, a):
         """Exchange-domain fill updates: read the subset bricks' exchange
         values (surf_vals [nb, n_surf] — post-DSS inside vmult, the raw
-        surface extraction in the standalone refill) plus the interior X
-        extension, run the fold/HN chain, and return the coverage-divided
-        closure-slot updates [n_sub, n_surfX] (surface part first)."""
-        v_sub = jnp.take(v, a["sub_ids"], axis=0)
+        surface extraction in the standalone refill) plus the subset brick
+        rows v_sub [n_sub, N3p] for the interior X extension, run the
+        fold/HN chain, and return the coverage-divided closure-slot updates
+        [n_sub, n_surfX] (surface part first)."""
         parts = [jnp.take(surf_vals, a["sub_ids"], axis=0)]
         if self._nX:
             parts.append(
-                jnp.dot(v_sub, a["EsI"].T, preferred_element_type=v.dtype)
+                jnp.dot(v_sub, a["EsI"].T, preferred_element_type=v_sub.dtype)
             )
         inp_sub = jnp.concatenate(parts, axis=1)  # [n_sub, ns + nX]
         C = self.bs.B**self.bs.dim
         cols2 = jnp.dot(
-            inp_sub, a["EscX"], preferred_element_type=v.dtype
+            inp_sub, a["EscX"], preferred_element_type=inp_sub.dtype
         ).reshape(self._n_sub * C, -1)
         orig_rows = jnp.take(cols2, a["hn_sub"], axis=0)
         for lv in sorted(self._levels):
@@ -1639,7 +1655,7 @@ class BrickLaplaceMM:
         dcols = jnp.zeros_like(cols2).at[a["hn_sub"]].set(diff)
         return jnp.dot(
             dcols.reshape(self._n_sub, -1), a["EFX"],
-            preferred_element_type=v.dtype,
+            preferred_element_type=dcols.dtype,
         ) * a["fill_invden_X"]
 
     def _refill_impl(self, v, a):
@@ -1653,7 +1669,7 @@ class BrickLaplaceMM:
             return v
         ns = self.n_surf
         surf = jnp.dot(v, a["Es"].T, preferred_element_type=v.dtype)
-        add = self._fill_updates(v, surf, a)
+        add = self._fill_updates(jnp.take(v, a["sub_ids"], axis=0), surf, a)
         dsurf = self._subset_scatter_add(
             jnp.zeros_like(surf), add[:, :ns], a
         )
