@@ -131,10 +131,18 @@ def run(
             100.0 * (tc / tp - 1.0)
             for tc, tp in zip(res_c.times, res_p.times)
         ]
+        shown = win if len(win) <= 8 else (
+            sorted(win)[:: max(1, len(win) // 8)][:8]
+        )
         table.add_value(
-            "overhead_windows", "/".join(f"{w:.1f}" for w in win)
+            "overhead_windows", "/".join(f"{w:.1f}" for w in shown)
         )
         table.add_value("overhead_median", round(float(np.median(win)), 2))
+        if len(win) > 8:
+            q25, q75 = np.percentile(win, [25, 75])
+            table.add_value(
+                "overhead_iqr", f"{q25:.1f}..{q75:.1f}(n={len(win)})"
+            )
         for res, tag in ((res_c, ""), (res_p, "_plain")):
             table.add_value("time_min" + tag, res.min)
             table.set_scientific("time_min" + tag, True)

@@ -131,6 +131,14 @@ def run_bricks(nref: int = 6, degree: int = 4, geometry: str = "quadrant",
 
     b = op.vmult(xstar_b)
     np.asarray(mm.to_dof_vector(b))  # sync: exclude compile from the solve
+    # warm up EVERY program the preconditioned CG step dispatches (each
+    # level's smoother/transfer/coarse jits compile through the tunnel at
+    # 15-150 s apiece; round-3 queue measured 14.8 s/"iter" at nref=6 when
+    # the first V-cycle's compiles landed inside the timed loop)
+    t0 = time.perf_counter()
+    _x, _it, _ = solve_cg(op, b, M=gmg, tol=tol, max_iter=2, dot=mm.dot)
+    float(mm.dot(_x, _x))
+    t_warm = time.perf_counter() - t0
     t0 = time.perf_counter()
     x, iters, res = solve_cg(op, b, M=gmg, tol=tol, max_iter=100, dot=mm.dot)
     r = b - op.vmult(x)
@@ -152,6 +160,7 @@ def run_bricks(nref: int = 6, degree: int = 4, geometry: str = "quadrant",
     table.add_value("err_max", err)
     table.set_scientific("err_max", True)
     table.add_value("setup_s", round(t_setup, 1))
+    table.add_value("warmup_s", round(t_warm, 1))
     table.add_value("solve_s", round(t_solve, 3))
     table.add_value("s_per_iter", round(t_solve / max(iters, 1), 4))
     print(table.write_text())

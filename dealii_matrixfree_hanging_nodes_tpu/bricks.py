@@ -1824,38 +1824,50 @@ class BrickLaplaceMM:
         return rows.at[dst_k.reshape(-1)].add(out.reshape(k * G * m, -1))
 
     def _dss_surface_multi(self, surf, a, k):
-        """_dss_surface on [k*nb, n_surf]: pool ids get per-RHS offsets so
-        each RHS sums into its own pool block (one scatter/gather pair total,
-        k-fold wider — not k separate passes)."""
+        """_dss_surface on [k*nb, n_surf], k-MINOR pool layout: each entity
+        block is transposed to [n_copies, k*entity_size] so the scatter-add
+        and gather-back touch exactly the same NUMBER of rows as the
+        single-RHS path (row-granular scatter cost is width-insensitive on
+        this backend — PERF.md fact 2); the k-fold width is where the
+        amortization lives. The earlier k-major formulation offset the pool
+        ids per RHS and paid k x the scatter rows — measured 0.8x per-vector
+        at k=8 (results/queue_raw/q_multi7.out)."""
         bs = self.bs
         nb = bs.n_bricks
         dim = bs.dim
         nf = 2 * dim
         fsize = (bs.NB - 2) ** (dim - 1)
 
-        def _pool_ids(pid, npools):
-            offs = jnp.arange(k, dtype=pid.dtype) * pid.dtype.type(npools)
-            return (offs[:, None] + pid.reshape(-1)[None]).reshape(-1)
+        def _kmin(block, ncopy, esz):
+            # [k*nb, ncopy*esz] class block -> [nb*ncopy, k*esz]
+            x = block.reshape(k, nb * ncopy, esz)
+            return jnp.swapaxes(x, 0, 1).reshape(nb * ncopy, k * esz)
 
-        fid = _pool_ids(a["face_pool_id"], bs.n_face_pools)
-        fblock = surf[:, : nf * fsize].reshape(k * nb * nf, fsize)
-        pool = jnp.zeros((k * bs.n_face_pools, fsize), surf.dtype)
+        def _kmaj(block, ncopy, esz):
+            # inverse of _kmin
+            x = block.reshape(nb * ncopy, k, esz)
+            return jnp.swapaxes(x, 0, 1).reshape(k * nb, ncopy * esz)
+
+        fblock = _kmin(surf[:, : nf * fsize], nf, fsize)
+        fid = a["face_pool_id"].reshape(-1)
+        pool = jnp.zeros((bs.n_face_pools, k * fsize), surf.dtype)
         pool = pool.at[fid].add(fblock)
-        parts = [pool[fid].reshape(k * nb, nf * fsize)]
+        parts = [_kmaj(pool[fid], nf, fsize)]
         off = nf * fsize
         if dim == 3:
             esize = bs.NB - 2
-            eid = _pool_ids(a["edge_pool_id"], bs.n_edge_pools)
-            eblock = surf[:, off : off + 12 * esize].reshape(k * nb * 12, esize)
-            epool = jnp.zeros((k * bs.n_edge_pools, esize), surf.dtype)
+            eblock = _kmin(surf[:, off : off + 12 * esize], 12, esize)
+            eid = a["edge_pool_id"].reshape(-1)
+            epool = jnp.zeros((bs.n_edge_pools, k * esize), surf.dtype)
             epool = epool.at[eid].add(eblock)
-            parts.append(epool[eid].reshape(k * nb, 12 * esize))
+            parts.append(_kmaj(epool[eid], 12, esize))
             off += 12 * esize
         ncorner = 2**dim
-        cid = _pool_ids(a["corner_pool_id"], bs.n_corner_pools)
-        cpool = jnp.zeros((k * bs.n_corner_pools,), surf.dtype)
-        cpool = cpool.at[cid].add(surf[:, off : off + ncorner].reshape(-1))
-        parts.append(cpool[cid].reshape(k * nb, ncorner))
+        cblock = _kmin(surf[:, off : off + ncorner], ncorner, 1)
+        cid = a["corner_pool_id"].reshape(-1)
+        cpool = jnp.zeros((bs.n_corner_pools, k), surf.dtype)
+        cpool = cpool.at[cid].add(cblock)
+        parts.append(_kmaj(cpool[cid], ncorner, 1))
         return jnp.concatenate(parts, axis=1)
 
     def _subset_scatter_add_multi(self, v, dsub, a, k):

@@ -70,7 +70,8 @@ def repeat_timed(step, x0, n_reps: int = 100, n_trials: int = 3,
     return TimingResult(times)
 
 
-def repeat_timed_paired(steps, x0s, n_reps: int = 100, n_trials: int = 3):
+def repeat_timed_paired(steps, x0s, n_reps: int = 100, n_trials: int = 3,
+                        chunk: int | None = 10):
     """Time several step functions with INTERLEAVED trials.
 
     On tunneled/remote backends throughput drifts several-fold between
@@ -79,18 +80,37 @@ def repeat_timed_paired(steps, x0s, n_reps: int = 100, n_trials: int = 3):
     Interleaving — trial t runs every config back to back — puts each pair of
     measurements in the same weather window; the per-config min then gives a
     drift-resistant ratio. Returns a list of TimingResult, one per step.
+
+    chunk: alternate the configs every ``chunk`` reps INSIDE a trial (each
+    chunk fetch-synced), recording one time per chunk. Weather can shift in
+    the middle of a 100-rep block — round-3 measured per-window overheads
+    swinging -31%..+99% at nref=8 — while adjacent ~10-rep chunks share
+    their window, so per-chunk ratios (median over chunks) bound the true
+    overhead far tighter. chunk=None restores whole-trial blocks.
     """
     for step, x0 in zip(steps, x0s):
         _ = np.asarray(step(x0)).ravel()[:1]  # compile + hard sync
     times = [[] for _ in steps]
+    if chunk is None or chunk >= n_reps:
+        for _trial in range(n_trials):
+            for i, (step, x0) in enumerate(zip(steps, x0s)):
+                x = x0
+                t0 = time.perf_counter()
+                for _ in range(n_reps):
+                    x = step(x)
+                _ = np.asarray(x).ravel()[:1]
+                times[i].append((time.perf_counter() - t0) / n_reps)
+        return [TimingResult(t) for t in times]
+    n_rounds = max(1, n_reps // chunk)
     for _trial in range(n_trials):
-        for i, (step, x0) in enumerate(zip(steps, x0s)):
-            x = x0
-            t0 = time.perf_counter()
-            for _ in range(n_reps):
-                x = step(x)
-            _ = np.asarray(x).ravel()[:1]
-            times[i].append((time.perf_counter() - t0) / n_reps)
+        for _round in range(n_rounds):
+            for i, (step, x0) in enumerate(zip(steps, x0s)):
+                x = x0
+                t0 = time.perf_counter()
+                for _ in range(chunk):
+                    x = step(x)
+                _ = np.asarray(x).ravel()[:1]
+                times[i].append((time.perf_counter() - t0) / chunk)
     return [TimingResult(t) for t in times]
 
 
