@@ -130,15 +130,20 @@ def _pool_contrib_table(pool_id, n_pools, include_self):
 
 def auto_brick_size(degree: int, dim: int = 3) -> int:
     """Brick size heuristic, measured on v5e (PERF.md): B=4 wins for
-    p=1..4 in 3D (B=8's 512 cells/brick explodes the exceptional-cell
-    correction cost; B=2's operator is too small to amortize); B=2 for
-    p>=5 keeps the assembled operator within ~20 MB. 2D favors larger
-    bricks (cells/brick grows only quadratically)."""
-    best = 2
+    p=3..4 in 3D; B=2 for p>=5 keeps the assembled operator within
+    ~20 MB. For p=1..2 the binding cost at scale is the DSS/fill surface
+    exchange, which shrinks as the surface-to-volume ratio ~1/(B*p):
+    fixed B=4 left p=1 bricks at 5^3 nodes (78% surface) and 0.033
+    GDoF/s at 17 MDoF (results/queue_raw/q_degsweep.out), so low degrees
+    now target ~17 nodes per brick edge like the p=4 flagship. BRICK_B
+    overrides for A/B runs."""
+    env = os.environ.get("BRICK_B")
+    if env:
+        return int(env)
     cap = 5100 if dim == 3 else 2600
-    max_cells = 64 if dim == 3 else 256
-    for B in (2, 4, 8):
-        if (B * degree + 1) ** dim <= cap and B**dim <= max_cells:
+    best = 2
+    for B in (2, 4, 8, 16):
+        if (B * degree + 1) ** dim <= cap:
             best = B
     return best
 
