@@ -64,11 +64,11 @@ def run(geometry="quadrant", nref=4, degree=4, trace=False, table=None):
             "flops_per_dof", round(flops / mf.n_dofs, 1) if mf.n_dofs else 0
         )
         if trace:
-            from dealii_matrixfree_hanging_nodes_tpu.utils.timing import trace as tr
+            from dealii_matrixfree_hanging_nodes_tpu.utils.timing import sync_fetch, trace as tr
 
             with tr(f"/tmp/mfhn-counters-{name}"):
                 y = jit_step(x0, mf.arrays)
-                _ = np.asarray(y).ravel()[:1]
+                _ = sync_fetch(y)
         print(table.write_text())
     return table
 

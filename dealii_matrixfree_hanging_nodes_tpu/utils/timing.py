@@ -19,7 +19,23 @@ import time
 
 import numpy as np
 
-__all__ = ["repeat_timed", "repeat_timed_paired", "trace", "TimingResult"]
+__all__ = ["repeat_timed", "repeat_timed_paired", "trace", "TimingResult", "sync_fetch"]
+
+
+def sync_fetch(x):
+    """True sync point with an O(1)-byte host transfer.
+
+    Slices ONE element on-device (the slice op depends on the whole chained
+    result, so fetching it waits for the chain) and transfers only that
+    element. ``np.asarray(x)`` — the previous sync — dragged the FULL result
+    through the tunnel (~88 MB for the nref=7 p=4 brick vector), an additive
+    ~1.2 s per window at the link's ~70 MB/s that inflated every chunked A/B
+    window: round-3 measured the same vmult at 150 ms/rep (10-rep chunks,
+    full fetch), 28 ms/rep (100-rep windows, full fetch) and 14 ms/rep
+    (bench.py, tiny-slice fetch). DCE cannot elide the chain: each rep is its
+    own dispatched executable, only the final slice is fetched.
+    """
+    return np.asarray(x.ravel()[:1])
 
 
 class TimingResult:
@@ -56,7 +72,7 @@ def repeat_timed(step, x0, n_reps: int = 100, n_trials: int = 3,
     spinning rendezvous threads until the collective deadlocks.
     """
     x = step(x0)
-    _ = np.asarray(x).ravel()[:1]  # compile + hard sync
+    _ = sync_fetch(x)  # compile + hard sync
     times = []
     for _trial in range(n_trials):
         x = x0
@@ -65,7 +81,7 @@ def repeat_timed(step, x0, n_reps: int = 100, n_trials: int = 3,
             x = step(x)
             if sync_each:
                 x.block_until_ready()
-        _ = np.asarray(x).ravel()[:1]
+        _ = sync_fetch(x)
         times.append((time.perf_counter() - t0) / n_reps)
     return TimingResult(times)
 
@@ -89,7 +105,7 @@ def repeat_timed_paired(steps, x0s, n_reps: int = 100, n_trials: int = 3,
     overhead far tighter. chunk=None restores whole-trial blocks.
     """
     for step, x0 in zip(steps, x0s):
-        _ = np.asarray(step(x0)).ravel()[:1]  # compile + hard sync
+        _ = sync_fetch(step(x0))  # compile + hard sync
     times = [[] for _ in steps]
     if chunk is None or chunk >= n_reps:
         for _trial in range(n_trials):
@@ -98,7 +114,7 @@ def repeat_timed_paired(steps, x0s, n_reps: int = 100, n_trials: int = 3,
                 t0 = time.perf_counter()
                 for _ in range(n_reps):
                     x = step(x)
-                _ = np.asarray(x).ravel()[:1]
+                _ = sync_fetch(x)
                 times[i].append((time.perf_counter() - t0) / n_reps)
         return [TimingResult(t) for t in times]
     n_rounds = max(1, n_reps // chunk)
@@ -109,7 +125,7 @@ def repeat_timed_paired(steps, x0s, n_reps: int = 100, n_trials: int = 3,
                 t0 = time.perf_counter()
                 for _ in range(chunk):
                     x = step(x)
-                _ = np.asarray(x).ravel()[:1]
+                _ = sync_fetch(x)
                 times[i].append((time.perf_counter() - t0) / chunk)
     return [TimingResult(t) for t in times]
 

@@ -25,6 +25,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from dealii_matrixfree_hanging_nodes_tpu.utils.timing import sync_fetch  # noqa: E402
+
 
 def parse_device_ops(log_dir):
     """Aggregate device-plane event durations by op name from an XPlane."""
@@ -67,7 +69,7 @@ def profile_step(tag, step, x0, n_reps):
 
     scale = None
     y = step(x0)
-    _ = np.asarray(y).ravel()[:1]  # compile + sync
+    _ = sync_fetch(y)  # compile + sync
     log_dir = f"/tmp/mfhn-profile-{tag}"
     os.system(f"rm -rf {log_dir}")
     jax.profiler.start_trace(log_dir)
@@ -75,7 +77,7 @@ def profile_step(tag, step, x0, n_reps):
     t0 = time.perf_counter()
     for _ in range(n_reps):
         x = step(x)
-    _ = np.asarray(x).ravel()[:1]
+    _ = sync_fetch(x)
     wall = (time.perf_counter() - t0) / n_reps
     jax.profiler.stop_trace()
     return log_dir, wall

@@ -33,6 +33,8 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from dealii_matrixfree_hanging_nodes_tpu.utils.timing import sync_fetch  # noqa: E402
+
 
 def main(nb=4096, p=4, B=2):
     import jax
@@ -82,7 +84,7 @@ def main(nb=4096, p=4, B=2):
 
     def timed(fn, x):
         y = fn(x)
-        _ = np.asarray(y).ravel()[:1]
+        _ = sync_fetch(y)
         best = float("inf")
         for _t in range(3):
             t0 = time.perf_counter()
@@ -90,7 +92,7 @@ def main(nb=4096, p=4, B=2):
             for _ in range(20):
                 z = fn(z * jnp.float32(1e-3) if z.dtype == jnp.float32
                        else z * 1e-3)
-            _ = np.asarray(z).ravel()[:1]
+            _ = sync_fetch(z)
             best = min(best, (time.perf_counter() - t0) / 20)
         return np.asarray(fn(x)), best
 
@@ -121,13 +123,13 @@ def main(nb=4096, p=4, B=2):
 
     jff2 = jax.jit(ff2)
     y0 = jff2(du)
-    _ = np.asarray(y0[0]).ravel()[:1]
+    _ = sync_fetch(y0[0])
     t0 = time.perf_counter()
     z = du
     for _ in range(20):
         hi, c1 = jff2(z * jnp.float32(1e-3))
         z = hi
-    _ = np.asarray(z).ravel()[:1]
+    _ = sync_fetch(z)
     dt = (time.perf_counter() - t0) / 20
     with jax.default_matmul_precision("highest"):
         hi, c1 = jff2(du)
