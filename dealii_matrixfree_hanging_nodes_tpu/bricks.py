@@ -882,9 +882,14 @@ class BrickLaplaceMM:
 
     def __init__(self, mf: MatrixFree, brick_size: int | None = None,
                  matmul_precision: str = "high", main_path: str = "separable",
-                 dss_mode: str | None = None):
+                 dss_mode: str | None = None, use_ssub: bool | None = None,
+                 auto_layout: bool | None = None):
         if main_path not in ("separable", "dense"):
             raise ValueError(f"unknown main_path {main_path!r}")
+        if auto_layout is None:
+            auto_layout = os.environ.get("BRICK_AUTO_LAYOUT", "1") != "0"
+        self._auto_layout = auto_layout
+        self._use_ssub_arg = use_ssub
         if dss_mode is None:
             dss_mode = os.environ.get("BRICK_DSS", "pool")
         if dss_mode not in ("pool", "pair"):
@@ -1239,7 +1244,13 @@ class BrickLaplaceMM:
         # scatter-adds were the top ops at 4.1 ms each at nref=7), but its
         # cost grows as nb * n_sub * N3p — quadratic in mesh size — so large
         # meshes switch back to .at[sub_ids].add (linear in n_sub)
-        self._use_ssub = bs.n_bricks * max(self._n_sub, 1) * N3p <= 2e11
+        env_ssub = os.environ.get("BRICK_SSUB")
+        if self._use_ssub_arg is not None:
+            self._use_ssub = bool(self._use_ssub_arg)
+        elif env_ssub is not None:
+            self._use_ssub = bool(int(env_ssub))
+        else:
+            self._use_ssub = bs.n_bricks * max(self._n_sub, 1) * N3p <= 2e11
         if self._use_ssub and len(sub_ids):
             self.arrays["Ssub"] = np.asarray(
                 (np.arange(bs.n_bricks)[:, None] == sub_ids[None, :])
@@ -1300,6 +1311,53 @@ class BrickLaplaceMM:
         they can never diverge)."""
         return {"default": "default", "high": "tensorfloat32",
                 "highest": "highest"}.get(self._precision, self._precision)
+
+    def _ensure_opt_layouts(self, bv):
+        """One-time AUTO-layout AOT compile of the canonical vmult.
+
+        The static operands (E, Es, EscX, EFX, Ssub, Kronecker factors) are
+        passed as jit ARGUMENTS (large closed-over constants make tunnel
+        compiles painful), so by default they arrive in row-major layout and
+        XLA inserts relayout copies INSIDE the program — re-executed every
+        rep. The device profile at nref=7 p=4 measured ~10 ms/rep of such
+        copies/slices in the constrained path alone (the bf16 E copy was
+        5.6 ms/rep; results/queue_raw/q_prof7.out). Compiling once with
+        AUTO layouts for the operand pytree and re-staging every operand via
+        device_put into the executable's preferred format removes them; all
+        later-jitted entry points (vmult_plain, refill, multi) trace against
+        the committed formats and inherit the benefit. BRICK_AUTO_LAYOUT=0
+        disables (and any failure falls back to the plain-jit path)."""
+        if getattr(self, "_layout_opt_done", False):
+            return
+        self._layout_opt_done = True
+        if not self._auto_layout:
+            return
+        try:
+            from jax.experimental.layout import Format, Layout
+            from jax.sharding import SingleDeviceSharding
+
+            a = self._stage()
+            dev = jax.devices()[0]
+            fmt_bv = Format(
+                Layout(tuple(range(bv.ndim))), SingleDeviceSharding(dev)
+            )
+            auto = jax.tree.map(lambda _: Format(Layout.AUTO), a)
+            impl = (
+                self._vmult_deformed_impl
+                if self._deformed
+                else self._vmult_impl
+            )
+            with jax.default_matmul_precision(self._matmul_precision):
+                compiled = (
+                    jax.jit(impl, in_shardings=(fmt_bv, auto))
+                    .lower(bv, a)
+                    .compile()
+                )
+            fmts = compiled.input_formats[0]
+            self.arrays = jax.tree.map(jax.device_put, a, fmts[1])
+            self._aot_vmult = compiled
+        except Exception:  # pragma: no cover - backend-dependent
+            self._aot_vmult = None
 
     def _stage(self):
         if self.arrays is None:
@@ -1687,6 +1745,7 @@ class BrickLaplaceMM:
         return jnp.where(a["node_valid"], v, 0.0)
 
     def refill(self, bv):
+        self._ensure_opt_layouts(bv)
         prec = self._matmul_precision
         if not hasattr(self, "_jit_refill"):
             self._jit_refill = jax.jit(self._refill_impl)
@@ -1773,6 +1832,7 @@ class BrickLaplaceMM:
         )
 
     def vmult_plain(self, bv):
+        self._ensure_opt_layouts(bv)
         prec = self._matmul_precision
         if not hasattr(self, "_jit_vmult_plain"):
             self._jit_vmult_plain = jax.jit(
@@ -1803,6 +1863,10 @@ class BrickLaplaceMM:
     def vmult(self, bv):
         import jax as _jax
 
+        self._ensure_opt_layouts(bv)
+        aot = getattr(self, "_aot_vmult", None)
+        if aot is not None:
+            return aot(bv, self.arrays)
         prec = self._matmul_precision
         with _jax.default_matmul_precision(prec):
             return self._jit_vmult(bv, self._stage())
