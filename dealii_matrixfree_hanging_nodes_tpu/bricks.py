@@ -187,6 +187,57 @@ class BrickStructure:
         ).astype(np.int64)
         lc = (tria.coord & (B - 1)).astype(np.int64)
         slot = sum(lc[:, d] * B**d for d in range(dim))
+
+        # vertex-only cross-level contacts (needed before the subset-first
+        # reorder below): a cell whose full-diagonal neighbor slot (across
+        # the parent corner) is covered by an active one-level-coarser cell,
+        # with NO constrained face/edge (mask 0) — it shares exactly one
+        # master vertex with the coarse level (e.g. the octant corner of the
+        # quadrant mesh). These need fold/fill transfers too, with identity
+        # weights.
+        from .constraints import _active_lookup
+
+        masks = mf._np["masks"]
+        find = _active_lookup(tria)
+        s_bits = (tria.coord & 1).astype(np.int64)
+        nc = tria.coord + (2 * s_bits - 1)
+        lim = np.int64(1) << tria.level
+        inside = np.all((nc >= 0) & (nc < lim[:, None]), axis=1)
+        valid = inside & (tria.level >= 1)
+        vdiag = find(tria.level - 1, nc >> np.int64(1), valid)
+        self.vertex_contact = (vdiag >= 0) & (masks == 0)
+        self.vertex_diag = vdiag
+
+        # ---- subset-first brick order -------------------------------------
+        # Exceptional bricks (holes, constrained cells, or fold/fill coarse
+        # targets) are renumbered to the front, so every engine subset
+        # gather/scatter (take(v, sub_ids), the Ssub one-hot, the
+        # correction/fill write-back) becomes a STATIC leading slice — no
+        # row gathers, no [nb, n_sub] one-hot MACs. Stable within each part
+        # (Morton/level order preserved); the distributed partitioner builds
+        # its own Morton order from brick_coord, so it is unaffected.
+        C = B**dim
+        exc = np.bincount(brick_of_cell, minlength=self.n_bricks) < C
+        ci = mf.constraints
+        xsel = (masks != 0) | self.vertex_contact
+        exc[brick_of_cell[xsel]] = True
+        mcells = np.nonzero(masks != 0)[0]
+        for nbr in (ci.face_neighbor[mcells], ci.edge_neighbor[mcells]):
+            v = nbr[nbr >= 0]
+            exc[brick_of_cell[v]] = True
+        vd = vdiag[self.vertex_contact]
+        if len(vd):
+            exc[brick_of_cell[vd]] = True
+        old_order = np.argsort(~exc, kind="stable")  # exceptional first
+        rank = np.empty(self.n_bricks, dtype=np.int64)
+        rank[old_order] = np.arange(self.n_bricks)
+        self.brick_level = self.brick_level[old_order]
+        self.brick_coord = self.brick_coord[old_order]
+        brick_of_cell = rank[brick_of_cell]
+        self.exc_brick = exc[old_order]
+        self.n_exc_bricks = int(exc.sum())
+        assert self.exc_brick[: self.n_exc_bricks].all()
+
         self.brick_of_cell = brick_of_cell
         self.slot_of_cell = slot
         self.cell_lin = brick_of_cell * (B**dim) + slot  # brick-cell linear id
@@ -208,27 +259,8 @@ class BrickStructure:
             self.geo_b[self.cell_lin] = geo
 
         # masks / hn subset in brick-cell numbering
-        masks = mf._np["masks"]
         self.masks_b = np.zeros(ncb, dtype=np.int32)
         self.masks_b[self.cell_lin] = masks
-
-        # vertex-only cross-level contacts: a cell whose full-diagonal
-        # neighbor slot (across the parent corner) is covered by an active
-        # one-level-coarser cell, with NO constrained face/edge (mask 0) —
-        # it shares exactly one master vertex with the coarse level (e.g. the
-        # octant corner of the quadrant mesh). These need fold/fill transfers
-        # too, with identity weights.
-        from .constraints import _active_lookup
-
-        find = _active_lookup(tria)
-        s_bits = (tria.coord & 1).astype(np.int64)
-        nc = tria.coord + (2 * s_bits - 1)
-        lim = np.int64(1) << tria.level
-        inside = np.all((nc >= 0) & (nc < lim[:, None]), axis=1)
-        valid = inside & (tria.level >= 1)
-        vdiag = find(tria.level - 1, nc >> np.int64(1), valid)
-        self.vertex_contact = (vdiag >= 0) & (masks == 0)
-        self.vertex_diag = vdiag
 
         # transfer-active subset: constrained cells + vertex-contact cells,
         # stable-sorted by mask so each distinct mask forms one contiguous
@@ -883,9 +915,20 @@ class BrickLaplaceMM:
     def __init__(self, mf: MatrixFree, brick_size: int | None = None,
                  matmul_precision: str = "high", main_path: str = "separable",
                  dss_mode: str | None = None, use_ssub: bool | None = None,
-                 auto_layout: bool | None = None):
+                 auto_layout: bool | None = None, fill_mode: str | None = None,
+                 col2im: str | None = None):
         if main_path not in ("separable", "dense"):
             raise ValueError(f"unknown main_path {main_path!r}")
+        if fill_mode is None:
+            fill_mode = os.environ.get("BRICK_FILL", "volume")
+        if fill_mode not in ("exchange", "volume"):
+            raise ValueError(f"unknown fill_mode {fill_mode!r}")
+        self._fill_mode = fill_mode
+        if col2im is None:
+            col2im = os.environ.get("BRICK_COL2IM", "sep")
+        if col2im not in ("sep", "onehot"):
+            raise ValueError(f"unknown col2im {col2im!r}")
+        self._col2im = col2im
         if auto_layout is None:
             auto_layout = os.environ.get("BRICK_AUTO_LAYOUT", "1") != "0"
         self._auto_layout = auto_layout
@@ -1033,16 +1076,17 @@ class BrickLaplaceMM:
         Es[np.arange(self.n_surf), surf_idx] = 1.0
 
         # exceptional cells: absent slots + transfer-active cells (+ fold
-        # destinations). Their bricks form the correction subset.
+        # destinations). Their bricks form the correction subset —
+        # renumbered to the FRONT by BrickStructure (subset-first order),
+        # so every subset gather/scatter is a static leading slice.
         absent_lin = np.nonzero(~bs.present)[0]
-        exc = set(absent_lin.tolist()) | set(bs.hn_lin.tolist())
-        for g in bs.transfer_groups:
-            exc.update(g.coarse_cells.tolist())
-        exc_bricks = sorted({int(x) // C for x in exc})
-        sub_ids = np.array(exc_bricks, dtype=np.int64)
+        sub_ids = np.nonzero(bs.exc_brick)[0].astype(np.int64)
         sub_of_brick = np.full(bs.n_bricks, -1, dtype=np.int64)
         sub_of_brick[sub_ids] = np.arange(len(sub_ids))
         self._n_sub = len(sub_ids)
+        self._sub_contig = bool(
+            (sub_ids == np.arange(len(sub_ids))).all()
+        )
 
         def remap(lin):
             out = sub_of_brick[lin // C] * C + lin % C
@@ -1195,6 +1239,35 @@ class BrickLaplaceMM:
         den_X = den_X[:, : self.n_surfX]
         fill_invden_X = np.where(den_X > 0, 1.0 / np.maximum(den_X, 1.0), 0.0)
 
+        # separable col2im factor: the overlap-add scatter cols -> brick
+        # volume  out[c*p + j] += cols[c, j]  factors per axis into one tiny
+        # [B*n, NB] 0/1 matrix (E = W (x) W (x) W up to the (c, j) digit
+        # interleave), so the volume-sized one-hot E/EFX matmuls collapse to
+        # three ~[*, B*n] x [B*n, NB] contractions (~100x fewer MACs at
+        # p=4, B=4). Exact: same 0/1 weights, f32 accumulation.
+        W_col2im = np.zeros((B * n, NB))
+        for c in range(B):
+            W_col2im[c * n + np.arange(n), c * p + np.arange(n)] = 1.0
+
+        # volume-domain fill (fill_mode="volume"): per-hn-row inverse write
+        # coverage on the row's own nodes, pre-masked by the closure slots
+        # (the exchange path's EFX restriction + fill_invden_X division,
+        # folded into one per-row static factor so the scatter-back is a
+        # plain separable overlap-add).
+        if self._fill_mode == "volume" and len(hn_sub):
+            den_vol = np.zeros((len(sub_ids), N3), dtype=np.float64)
+            np.add.at(
+                den_vol,
+                (hn_brick[:, None], slot_idx[hn_slot]),
+                np.float64(1.0),
+            )
+            fill_invcov = (
+                1.0 / den_vol[hn_brick[:, None], slot_idx[hn_slot]]
+            ) * bs.hn_closure.astype(np.float64)
+            del den_vol
+        else:
+            fill_invcov = np.zeros((len(hn_sub), n_loc), dtype=np.float64)
+
         # present/validity in subset cols numbering
         present_sub = bs.present.reshape(bs.n_bricks, C)[sub_ids].reshape(-1)
         # per-dof node validity/coverage for final masking
@@ -1238,6 +1311,8 @@ class BrickLaplaceMM:
             EscX=np.asarray(EscX, dtype=mf.dtype),
             EFX=np.asarray(EFX, dtype=mf.dtype),
             fill_invden_X=np.asarray(fill_invden_X, dtype=mf.dtype),
+            W_col2im=np.asarray(W_col2im, dtype=mf.dtype),
+            fill_invcov=np.asarray(fill_invcov, dtype=mf.dtype),
         )
         # subset write-back strategy: the one-hot scatter [nb, n_sub] matmul
         # beats the row scatter-add ~3x at moderate sizes (profiled: the two
@@ -1245,7 +1320,9 @@ class BrickLaplaceMM:
         # cost grows as nb * n_sub * N3p — quadratic in mesh size — so large
         # meshes switch back to .at[sub_ids].add (linear in n_sub)
         env_ssub = os.environ.get("BRICK_SSUB")
-        if self._use_ssub_arg is not None:
+        if self._sub_contig:
+            self._use_ssub = False  # static leading-slice add instead
+        elif self._use_ssub_arg is not None:
             self._use_ssub = bool(self._use_ssub_arg)
         elif env_ssub is not None:
             self._use_ssub = bool(int(env_ssub))
@@ -1374,6 +1451,7 @@ class BrickLaplaceMM:
                 staged["EsI"] = staged["EsI"].astype(jnp.bfloat16)
                 staged["EscX"] = staged["EscX"].astype(jnp.bfloat16)
                 staged["EFX"] = staged["EFX"].astype(jnp.bfloat16)
+                staged["W_col2im"] = staged["W_col2im"].astype(jnp.bfloat16)
             self.arrays = staged
         return self.arrays
 
@@ -1407,11 +1485,22 @@ class BrickLaplaceMM:
         return u
 
     def _subset_scatter_add(self, v, dsub, a):
-        """v[sub_ids] += dsub, as a one-hot matmul (fastest at moderate
-        sizes) or a row scatter-add (linear cost, large meshes)."""
+        """v[sub_ids] += dsub. With the subset-first brick order (default)
+        this is a STATIC leading-slice add; otherwise a one-hot matmul
+        (fastest at moderate sizes) or a row scatter-add (linear cost,
+        large meshes)."""
+        if self._sub_contig:
+            return v.at[: self._n_sub].add(dsub)
         if self._use_ssub:
             return v + jnp.dot(a["Ssub"], dsub, preferred_element_type=v.dtype)
         return v.at[a["sub_ids"]].add(dsub)
+
+    def _take_sub(self, x, a):
+        """x[sub_ids]: a static leading slice under the subset-first brick
+        order, a row gather otherwise."""
+        if self._sub_contig:
+            return x[: self._n_sub]
+        return jnp.take(x, a["sub_ids"], axis=0)
 
     # ------------------------------------------------------------------ dss
     def _dss_surface(self, surf, a):
@@ -1516,11 +1605,50 @@ class BrickLaplaceMM:
 
     def _scatter_cols(self, cols, a):
         """Adjoint of _extract_cols: [n_rows*C, n_loc] -> [n_rows, N3p]
-        overlap-add, as one one-hot E matmul (faster than the transposed
-        conv, which lowers to an input-dilated conv on TPU)."""
+        overlap-add. col2im="sep" (default) uses the exact Kronecker
+        factorization of E (three tiny [B*n, NB] contractions, ~100x fewer
+        MACs than the dense one-hot at p=4); col2im="onehot" keeps the
+        single E matmul for A/B."""
+        if self._col2im == "sep":
+            m = cols.shape[0] // (self.bs.B ** self.bs.dim)
+            return self._col2im_sep(cols, m, a)
         m = cols.shape[0] // (self.bs.B ** self.bs.dim)
         return jnp.dot(cols.reshape(m, -1), a["E"],
                        preferred_element_type=cols.dtype)
+
+    def _col2im_sep(self, cols, m, a):
+        """[m*C, n_loc] cols -> [m, N3p] overlap-add via the separable form.
+
+        Row r = (brick, cell sl, node j) with sl and j both x-fastest
+        lattices (local_lattice), so cols reshapes to the digit tensor
+        [m, cz, cy, cx, jz, jy, jx]; interleaving each (c_d, j_d) pair and
+        contracting with W[c*n+j, c*p+j] = 1 per axis reproduces
+        cols @ E exactly (same 0/1 weights, f32 accumulation)."""
+        bs = self.bs
+        B, n, NB, dim = bs.B, self.n, bs.NB, bs.dim
+        W = a["W_col2im"]
+        if dim == 3:
+            t = jnp.transpose(
+                cols.reshape(m, B, B, B, n, n, n), (0, 1, 4, 2, 5, 3, 6)
+            ).reshape(m, B * n, B * n, B * n)
+            t = jnp.einsum("bzyx,zZ->bZyx", t, W,
+                           preferred_element_type=cols.dtype)
+            t = jnp.einsum("bZyx,yY->bZYx", t, W,
+                           preferred_element_type=cols.dtype)
+            t = jnp.einsum("bZYx,xX->bZYX", t, W,
+                           preferred_element_type=cols.dtype)
+        else:
+            t = jnp.transpose(
+                cols.reshape(m, B, B, n, n), (0, 1, 3, 2, 4)
+            ).reshape(m, B * n, B * n)
+            t = jnp.einsum("byx,yY->bYx", t, W,
+                           preferred_element_type=cols.dtype)
+            t = jnp.einsum("bYx,xX->bYX", t, W,
+                           preferred_element_type=cols.dtype)
+        out = t.reshape(m, NB**dim)
+        if self.N3p > NB**dim:
+            out = jnp.pad(out, ((0, 0), (0, self.N3p - NB**dim)))
+        return out
 
     # ------------------------------------------------------- hn application
     def _hn_apply(self, rows, a, transpose: bool):
@@ -1603,7 +1731,7 @@ class BrickLaplaceMM:
         #    contribute nothing; constrained cells contribute HN^T values with
         #    their closure slots folded (chained) into coarse neighbors.
         if self._n_sub:
-            u_sub = jnp.take(bv, a["sub_ids"], axis=0)
+            u_sub = self._take_sub(bv, a)
             cols_u = self._extract_cols(u_sub, a)  # [n_sub*C, n_loc]
             plain = jnp.dot(cols_u, a["K"].T, preferred_element_type=bv.dtype)
             # per-cell scale BEFORE folds (levels differ)
@@ -1648,6 +1776,8 @@ class BrickLaplaceMM:
         exchange vector, its rows join the fill's subset reads, and the
         volume rows merge into the ONE final subset scatter together with
         the fill's interior extension."""
+        if self._fill_mode == "volume":
+            return self._dss_fill_volume(v, a, corr)
         ns = self.n_surf  # static int
         surf = jnp.dot(v, a["Es"].T, preferred_element_type=v.dtype)
         if corr is not None:
@@ -1664,7 +1794,7 @@ class BrickLaplaceMM:
         # masking needed first: hole-node values are ~0 after the absent
         # correction, and the fill reads entity rows of present cells only.)
         if self._n_sub and a["hn_sub"].shape[0]:
-            v_sub = jnp.take(v, a["sub_ids"], axis=0)
+            v_sub = self._take_sub(v, a)
             if corr is not None:
                 v_sub = v_sub + corr
             add = self._fill_updates(v_sub, surf_new, a)
@@ -1683,6 +1813,59 @@ class BrickLaplaceMM:
             out = self._subset_scatter_add(out, sub_upd, a)
         return jnp.where(a["node_valid"], out, 0.0)
 
+    def _dss_fill_volume(self, v, a, corr=None):
+        """Volume-domain variant of steps 3-4 (fill_mode="volume"): instead
+        of carrying the fill through the [ns+nX]-wide EscX/EFX one-hot pair
+        (~100 GFLOP of mostly-zero MACs at nref=7 p=4 — the measured bulk
+        of the honest HN overhead), apply the post-DSS exchange delta to
+        the n_sub subset volumes ONCE (one subset-width Es scatter), read
+        cell rows with the cheap conv-patch extraction, run the same
+        fold/HN chain, and scatter the per-row coverage-scaled diffs back
+        with the separable col2im. The EscX/EFX/EsI operands drop out of
+        the hot path entirely."""
+        surf = jnp.dot(v, a["Es"].T, preferred_element_type=v.dtype)
+        if corr is not None:
+            corr_surf = jnp.dot(corr, a["Es"].T, preferred_element_type=v.dtype)
+            surf = self._subset_scatter_add(surf, corr_surf, a)
+        surf_new = self._dss_surface(surf, a)
+        delta = surf_new - surf
+        sub_upd = corr
+        if self._n_sub and a["hn_sub"].shape[0]:
+            v_sub = self._take_sub(v, a)
+            if corr is not None:
+                v_sub = v_sub + corr
+            v_sub = v_sub + jnp.dot(
+                self._take_sub(delta, a), a["Es"],
+                preferred_element_type=v.dtype,
+            )
+            upd = self._fill_updates_volume(v_sub, a)
+            sub_upd = upd if sub_upd is None else sub_upd + upd
+        out = v + jnp.dot(delta, a["Es"], preferred_element_type=v.dtype)
+        if sub_upd is not None:
+            out = self._subset_scatter_add(out, sub_upd, a)
+        return jnp.where(a["node_valid"], out, 0.0)
+
+    def _fill_updates_volume(self, v_sub, a):
+        """Volume-domain fill updates: conv-patch cell rows of the post-DSS
+        subset volumes, the same fold/HN chain as the exchange path, then
+        closure-masked per-row inverse-coverage scaling and one separable
+        overlap-add back to [n_sub, N3p] (sum of x/den over equal writers
+        == the exchange path's pooled x * 1/den)."""
+        cols2 = self._extract_cols(v_sub, a)
+        orig_rows = jnp.take(cols2, a["hn_sub"], axis=0)
+        for lv in sorted(self._levels):
+            lz = a["level_zero"][lv]
+            cols2 = cols2.at[lz["lin"]].set(
+                jnp.take(cols2, lz["lin"], axis=0) * lz["keep"]
+            )
+            cols2 = self._fold_level(cols2, a["transfers_b"][lv], fill=True)
+        sub2 = self._hn_apply(
+            jnp.take(cols2, a["hn_sub"], axis=0), a, transpose=False
+        )
+        diff = (sub2 - orig_rows) * a["fill_invcov"]
+        dcols = jnp.zeros_like(cols2).at[a["hn_sub"]].set(diff)
+        return self._col2im_sep(dcols, self._n_sub, a)
+
     def _fill_updates(self, v_sub, surf_vals, a):
         """Exchange-domain fill updates: read the subset bricks' exchange
         values (surf_vals [nb, n_surf] — post-DSS inside vmult, the raw
@@ -1690,7 +1873,7 @@ class BrickLaplaceMM:
         rows v_sub [n_sub, N3p] for the interior X extension, run the
         fold/HN chain, and return the coverage-divided closure-slot updates
         [n_sub, n_surfX] (surface part first)."""
-        parts = [jnp.take(surf_vals, a["sub_ids"], axis=0)]
+        parts = [self._take_sub(surf_vals, a)]
         if self._nX:
             parts.append(
                 jnp.dot(v_sub, a["EsI"].T, preferred_element_type=v_sub.dtype)
@@ -1730,9 +1913,13 @@ class BrickLaplaceMM:
         stack, whose pointwise operations break only the hanging copies."""
         if not (self._n_sub and a["hn_sub"].shape[0]):
             return v
+        if self._fill_mode == "volume":
+            upd = self._fill_updates_volume(self._take_sub(v, a), a)
+            v = self._subset_scatter_add(v, upd, a)
+            return jnp.where(a["node_valid"], v, 0.0)
         ns = self.n_surf
         surf = jnp.dot(v, a["Es"].T, preferred_element_type=v.dtype)
-        add = self._fill_updates(jnp.take(v, a["sub_ids"], axis=0), surf, a)
+        add = self._fill_updates(self._take_sub(v, a), surf, a)
         dsurf = self._subset_scatter_add(
             jnp.zeros_like(surf), add[:, :ns], a
         )
@@ -1760,7 +1947,7 @@ class BrickLaplaceMM:
         v = self._main_apply(bv, a)
         v = v * a["geo"][:, None]
         if self._n_sub and a["absent_sub"].shape[0]:
-            u_sub = jnp.take(bv, a["sub_ids"], axis=0)
+            u_sub = self._take_sub(bv, a)
             cols_u = self._extract_cols(u_sub, a)
             plain = jnp.dot(cols_u, a["K"].T, preferred_element_type=bv.dtype)
             plain = plain * a["geo_cell_sub"][:, None]
@@ -1943,6 +2130,14 @@ class BrickLaplaceMM:
         """v[j*nb + sub_ids] += dsub (k-major): the one-hot path shares the
         [nb, n_sub] selector across RHS via a k-batched einsum."""
         nb = self.bs.n_bricks
+        if self._sub_contig:
+            x = v.shape[-1]
+            return (
+                v.reshape(k, nb, x)
+                .at[:, : self._n_sub]
+                .add(dsub.reshape(k, self._n_sub, x))
+                .reshape(k * nb, x)
+            )
         if self._use_ssub:
             upd = jnp.einsum(
                 "bs,ksx->kbx", a["Ssub"],
@@ -1953,6 +2148,19 @@ class BrickLaplaceMM:
         sid = a["sub_ids"]
         offs = jnp.arange(k, dtype=sid.dtype) * sid.dtype.type(nb)
         return v.at[(offs[:, None] + sid[None]).reshape(-1)].add(dsub)
+
+    def _take_sub_multi(self, x, a, k):
+        """x[j*nb + sub_ids] on the k-major flattened layout: a static
+        per-block leading slice under the subset-first order."""
+        nb = self.bs.n_bricks
+        if self._sub_contig:
+            w = x.shape[-1]
+            return (
+                x.reshape(k, nb, w)[:, : self._n_sub].reshape(-1, w)
+            )
+        sid = a["sub_ids"]
+        offs = jnp.arange(k, dtype=sid.dtype) * sid.dtype.type(nb)
+        return jnp.take(x, (offs[:, None] + sid[None]).reshape(-1), axis=0)
 
     def _hn_ids2(self, a, k):
         """[n_hn, k] gather indices of the HN rows in the k-major flattened
@@ -1967,12 +2175,8 @@ class BrickLaplaceMM:
     def _fill_updates_multi(self, v, surf_vals, a, k):
         """_fill_updates on the k-major layout: [k*n_sub, ...] subset rows,
         shared EscX/EFX operands read once for all RHS."""
-        nb = self.bs.n_bricks
-        sid = a["sub_ids"]
-        offs = jnp.arange(k, dtype=sid.dtype) * sid.dtype.type(nb)
-        sid_k = (offs[:, None] + sid[None]).reshape(-1)
-        v_sub = jnp.take(v, sid_k, axis=0)
-        parts = [jnp.take(surf_vals, sid_k, axis=0)]
+        v_sub = self._take_sub_multi(v, a, k)
+        parts = [self._take_sub_multi(surf_vals, a, k)]
         if self._nX:
             parts.append(
                 jnp.dot(v_sub, a["EsI"].T, preferred_element_type=v.dtype)
@@ -2036,10 +2240,7 @@ class BrickLaplaceMM:
         v = v * jnp.tile(a["geo"], k)[:, None]
 
         if self._n_sub:
-            sid = a["sub_ids"]
-            offs = jnp.arange(k, dtype=sid.dtype) * sid.dtype.type(nb)
-            sid_k = (offs[:, None] + sid[None]).reshape(-1)
-            u_sub = jnp.take(bv, sid_k, axis=0)
+            u_sub = self._take_sub_multi(bv, a, k)
             cols_u = self._extract_cols(u_sub, a)  # [k*n_sub*C, n_loc]
             plain = jnp.dot(cols_u, a["K"].T, preferred_element_type=bv.dtype)
             plain = plain * jnp.tile(a["geo_cell_sub"], k)[:, None]

@@ -169,3 +169,32 @@ def test_dss_pair_mode_matches_pool(geo, nref, p):
         v1 = np.asarray(getattr(op_pool, name)(bv))
         v2 = np.asarray(getattr(op_pair, name)(bv))
         assert np.abs(v1 - v2).max() <= 1e-13 * np.abs(v1).max(), name
+
+
+@pytest.mark.parametrize(
+    "geo,dim,nref,p",
+    [("quadrant", 3, 4, 4), ("quadrant", 3, 4, 2), ("annulus", 3, 4, 3),
+     ("quadrant", 2, 5, 3)],
+)
+def test_fill_volume_mode_matches_exchange(geo, dim, nref, p):
+    """The volume-domain fill (conv-patch extract + separable col2im
+    scatter-back, fill_mode="volume") is exactly equal to the
+    exchange-domain EscX/EFX formulation on vmult AND refill, and the
+    separable col2im factorization reproduces the one-hot E scatter."""
+    tria = mfhn.create_geometry(geo, dim, nref)
+    mf = MatrixFree(tria, degree=p, dtype=np.float64)
+    rng = np.random.default_rng(3)
+    u = rng.standard_normal(mf.n_dofs)
+    ops = {
+        "exch": BrickLaplaceMM(mf, matmul_precision="highest",
+                               fill_mode="exchange", col2im="onehot"),
+        "vol": BrickLaplaceMM(mf, matmul_precision="highest",
+                              fill_mode="volume", col2im="sep"),
+    }
+    bv = ops["exch"].from_dof_vector(u)
+    v1 = np.asarray(ops["exch"].vmult(bv))
+    v2 = np.asarray(ops["vol"].vmult(bv))
+    assert np.abs(v1 - v2).max() <= 1e-13 * np.abs(v1).max()
+    r1 = np.asarray(ops["exch"].refill(bv))
+    r2 = np.asarray(ops["vol"].refill(bv))
+    assert np.abs(r1 - r2).max() <= 1e-13 * max(np.abs(r1).max(), 1.0)
