@@ -919,13 +919,29 @@ class BrickLaplaceMM:
                  col2im: str | None = None):
         if main_path not in ("separable", "dense"):
             raise ValueError(f"unknown main_path {main_path!r}")
+        degree = mf.degree
         if fill_mode is None:
-            fill_mode = os.environ.get("BRICK_FILL", "volume")
+            # Per-degree default from the honest (post fetch-sync fix) fill
+            # A/B matrix (results/queue_raw/q_fillab*.out): exchange-domain
+            # fill wins at p>=3 (quadrant r7 p=4: 16.4 ms vs 22.9 volume;
+            # annulus r6: ~6% vs ~13-21% overhead), but its EscX/EFX pair
+            # scales with C*n_loc and loses badly at low degree (r8 p=2:
+            # 106 ms vs 67 volume; r8 p=1: 56 vs 52) where bricks hold many
+            # small cells — there the volume-domain fill wins.
+            fill_mode = os.environ.get(
+                "BRICK_FILL", "exchange" if degree >= 3 else "volume"
+            )
         if fill_mode not in ("exchange", "volume"):
             raise ValueError(f"unknown fill_mode {fill_mode!r}")
         self._fill_mode = fill_mode
         if col2im is None:
-            col2im = os.environ.get("BRICK_COL2IM", "sep")
+            # One-hot E matmul beats the separable col2im at every honestly
+            # timed config except r8 p=1 (by 4%): the separable form's 7-d
+            # transpose dominates its FLOP savings (q_fillab7.out: plain
+            # 10.8 ms onehot vs 14.2 sep at quadrant r7 p=4).
+            col2im = os.environ.get(
+                "BRICK_COL2IM", "onehot" if degree >= 2 else "sep"
+            )
         if col2im not in ("sep", "onehot"):
             raise ValueError(f"unknown col2im {col2im!r}")
         self._col2im = col2im

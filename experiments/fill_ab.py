@@ -34,14 +34,17 @@ from dealii_matrixfree_hanging_nodes_tpu.utils.timing import (  # noqa: E402
 def main(nref=7, degree=4, geometry="quadrant"):
     t = mfhn.create_geometry(geometry, 3, nref)
     mf = MatrixFree(t, degree, dtype=np.float32)
-    combos = [
-        ("exch", dict(fill_mode="exchange", col2im="onehot")),
-        ("vol", dict(fill_mode="volume", col2im="sep")),
-        ("vol1h", dict(fill_mode="volume", col2im="onehot")),
-    ]
+    combos_env = os.environ.get("FILL_AB_COMBOS", "exch,vol,vol1h")
+    all_combos = {
+        "exch": dict(fill_mode="exchange", col2im="onehot"),
+        "exch_sep": dict(fill_mode="exchange", col2im="sep"),
+        "vol": dict(fill_mode="volume", col2im="sep"),
+        "vol1h": dict(fill_mode="volume", col2im="onehot"),
+    }
+    combos = [(n, all_combos[n]) for n in combos_env.split(",")]
     ops = {n: BrickLaplaceMM(mf, auto_layout=False, **kw) for n, kw in combos}
     rng = np.random.default_rng(0)
-    op0 = ops["exch"]
+    op0 = ops[combos[0][0]]
     src = rng.standard_normal((op0.bs.n_bricks, op0.N3p)).astype(np.float32)
     bv0 = jnp.asarray(src)
     scale = jnp.float32(1e-3)
