@@ -64,6 +64,14 @@ def run(
     if csv:
         csv.write("weight,rank,n_cells,n_ghost,n_import,t_min,t_avg,t_max\n")
 
+    import jax as _jax
+    if _jax.devices()[0].platform == "cpu" and len(_jax.devices()) > 1:
+        print(
+            "# NOTE: N virtual devices on one host CPU — the t_min/t_avg"
+            " columns are correctness/ballast only, NOT performance data"
+            " (cells/ghost/import columns are exact)."
+        )
+
     for w in weights:
         cw = hanging_nodes_weighting(constrained, float(w))
         if engine == "bricks":

@@ -931,8 +931,14 @@ class BrickLaplaceMM:
             fill_mode = os.environ.get(
                 "BRICK_FILL", "exchange" if degree >= 3 else "volume"
             )
-        if fill_mode not in ("exchange", "volume"):
+        if fill_mode not in ("exchange", "volume", "hybrid", "input"):
             raise ValueError(f"unknown fill_mode {fill_mode!r}")
+        if fill_mode == "input" and mf.high_order_mapping:
+            # the deformed cols kernel computes HN^T K u on the full cell
+            # domain and relies on the input invariant; keep the output
+            # fill there (hybrid read side) until it grows its own
+            # input-side interpolation
+            fill_mode = "hybrid"
         self._fill_mode = fill_mode
         if col2im is None:
             # One-hot E matmul beats the separable col2im at every honestly
@@ -1162,6 +1168,136 @@ class BrickLaplaceMM:
                 ),
             )
 
+        # ---- flattened (dependency-staged) chain schedules -------------
+        # The per-level fold loops serialize ~4-6 HBM gather/scatter round
+        # trips per chain although almost no transfer actually READS a slot
+        # another transfer WRITES (measured: 7 of 41157 pairs at quadrant
+        # nref=7). Stage the pairs by true slot-level dependency: stage 1 is
+        # one hoisted gather + per-level einsums + one scatter-add; later
+        # stages (the rare multi-level constraint chains) are tiny per-pair
+        # batches. Exactly equal to the sequential schedule: fold adds
+        # commute, the lz masking moves to one pass (fill: before — reads of
+        # unfilled closure slots see 0 in both schedules; correction: after
+        # — no transfer writes an lz row once its finer level ran, which is
+        # what staging guarantees).
+        self._chain_mode = os.environ.get("BRICK_CHAIN", "flat")
+
+        def _stage_chain(direction):
+            order = levels if direction == "fill" else list(reversed(levels))
+            stagemap = {}  # row -> int[n_loc] max stage writing each slot
+            pair_stage = {lv: [] for lv in levels}
+            for lv in order:
+                for g in groups[lv]:
+                    T = g["T"]
+                    if direction == "fill":
+                        # fill: out[j] = sum_i T[j,i] src[i] on the coarse
+                        # row; writes nonzero rows of T into the fine row
+                        read = np.abs(T).sum(axis=0) > 0
+                        write = np.abs(T).sum(axis=1) > 0
+                        src_rows, dst_rows = g["coarse"], g["fine"]
+                    else:
+                        read = np.abs(T).sum(axis=1) > 0
+                        write = np.abs(T).sum(axis=0) > 0
+                        src_rows, dst_rows = g["fine"], g["coarse"]
+                    stages = np.ones(len(src_rows), dtype=np.int64)
+                    for k, (s, d) in enumerate(zip(src_rows, dst_rows)):
+                        sm = stagemap.get(int(s))
+                        if sm is not None:
+                            st = int(sm[read].max()) if read.any() else 0
+                            stages[k] = st + 1
+                    # update write map only after the level's reads resolve
+                    for k, d in enumerate(dst_rows):
+                        sm = stagemap.setdefault(
+                            int(d), np.zeros(n_loc, dtype=np.int64)
+                        )
+                        sm[write] = np.maximum(sm[write], stages[k])
+                    pair_stage[lv].append(stages)
+            n_stages = max(
+                (int(s.max()) for lv in levels for s in pair_stage[lv]
+                 if len(s)), default=1,
+            )
+            # stage 1: per-level padded [G, m] grids (transfers_b layout,
+            # stage-1 pairs only) with one concatenated gather/scatter
+            st1_src, st1_dst, st1_segs = [], [], []
+            off = 0
+            st1_levels = {}
+            for lv in levels:
+                gl = groups[lv]
+                m_max = 0
+                for gi, g in enumerate(gl):
+                    m_max = max(m_max, int((pair_stage[lv][gi] == 1).sum()))
+                if m_max == 0:
+                    continue
+                G = len(gl)
+                src_pad = np.zeros((G, m_max), dtype=np.int32)
+                dst_pad = np.zeros((G, m_max), dtype=np.int32)
+                mask_pad2 = np.zeros((G, m_max, 1))
+                for gi, g in enumerate(gl):
+                    sel1 = pair_stage[lv][gi] == 1
+                    srcs = (g["coarse"] if direction == "fill" else g["fine"])[sel1]
+                    dsts = (g["fine"] if direction == "fill" else g["coarse"])[sel1]
+                    src_pad[gi, : len(srcs)] = srcs
+                    dst_pad[gi, : len(dsts)] = dsts
+                    mask_pad2[gi, : len(srcs)] = 1.0
+                st1_src.append(src_pad.reshape(-1))
+                st1_dst.append(dst_pad.reshape(-1))
+                st1_segs.append((lv, off, G, m_max))
+                st1_levels[lv] = np.asarray(mask_pad2, dtype=mf.dtype)
+                off += G * m_max
+            flat = dict(
+                src_all=np.concatenate(st1_src).astype(np.int32)
+                if st1_src else np.zeros(0, np.int32),
+                dst_all=np.concatenate(st1_dst).astype(np.int32)
+                if st1_dst else np.zeros(0, np.int32),
+            )
+            for lv, m in st1_levels.items():
+                flat[f"mask_{lv}"] = m
+            # tail stages: per-pair stacked T (tiny by construction)
+            tails = []
+            for s in range(2, n_stages + 1):
+                t_src, t_dst, t_T = [], [], []
+                for lv in levels:
+                    for gi, g in enumerate(groups[lv]):
+                        sel = pair_stage[lv][gi] == s
+                        if not sel.any():
+                            continue
+                        srcs = (g["coarse"] if direction == "fill"
+                                else g["fine"])[sel]
+                        dsts = (g["fine"] if direction == "fill"
+                                else g["coarse"])[sel]
+                        T = g["T"].T if direction == "fill" else g["T"]
+                        for sr, dr in zip(srcs, dsts):
+                            t_src.append(int(sr))
+                            t_dst.append(int(dr))
+                            t_T.append(T)
+                tails.append(dict(
+                    src=np.asarray(t_src, dtype=np.int32),
+                    dst=np.asarray(t_dst, dtype=np.int32),
+                    T=np.asarray(np.stack(t_T), dtype=mf.dtype),
+                ))
+            meta = dict(segs=st1_segs, n_tails=len(tails))
+            return flat, tails, meta
+
+        flat_arrays = {}
+        self._flat_meta = {}
+        if len(hn_sub) and self._chain_mode == "flat":
+            all_lz_lin = np.concatenate(
+                [level_zero[lv]["lin"] for lv in levels]
+            ).astype(np.int32)
+            all_lz_keep = np.concatenate(
+                [level_zero[lv]["keep"] for lv in levels]
+            )
+            flat_arrays["lz_lin"] = all_lz_lin
+            flat_arrays["lz_keep"] = np.asarray(all_lz_keep, dtype=mf.dtype)
+            for direction in ("fill", "corr"):
+                flat, tails, meta = _stage_chain(direction)
+                for k, v in flat.items():
+                    flat_arrays[f"{direction}_{k}"] = v
+                for ti, t in enumerate(tails):
+                    for k, v in t.items():
+                        flat_arrays[f"{direction}_tail{ti}_{k}"] = v
+                self._flat_meta[direction] = meta
+
         # mask-sorted contiguous HN groups -> one composite [n_loc, n_loc]
         # matmul per distinct mask (hn cells were sorted by mask in
         # BrickStructure; mask 0 = vertex contacts is the identity group)
@@ -1329,6 +1465,7 @@ class BrickLaplaceMM:
             fill_invden_X=np.asarray(fill_invden_X, dtype=mf.dtype),
             W_col2im=np.asarray(W_col2im, dtype=mf.dtype),
             fill_invcov=np.asarray(fill_invcov, dtype=mf.dtype),
+            **{f"flat_{k}": v for k, v in flat_arrays.items()},
         )
         # subset write-back strategy: the one-hot scatter [nb, n_sub] matmul
         # beats the row scatter-add ~3x at moderate sizes (profiled: the two
@@ -1684,6 +1821,39 @@ class BrickLaplaceMM:
         return jnp.concatenate(parts, axis=0)
 
     # ----------------------------------------------------------- fold level
+    def _fold_chain_flat(self, rows, a, direction: str):
+        """Dependency-staged fold chain (chain_mode="flat"): stage 1 is ONE
+        hoisted gather over every independent transfer pair of every level,
+        per-level einsums on compact slices, and ONE scatter-add; later
+        stages (the rare true multi-level constraint chains — 7 of 41157
+        pairs at quadrant nref=7) are tiny per-pair batches. Exactly equal
+        to the sequential per-level loop (fold adds commute; staging orders
+        the genuine read-after-write pairs)."""
+        meta = self._flat_meta[direction]
+        pre = f"flat_{direction}_"
+        if a[pre + "src_all"].shape[0]:
+            sel_all = jnp.take(rows, a[pre + "src_all"], axis=0)
+            outs = []
+            for lv, off, G, m in meta["segs"]:
+                sel = sel_all[off:off + G * m].reshape(G, m, -1)
+                T = a["transfers_b"][lv]["T"]
+                Tx = jnp.swapaxes(T, 1, 2) if direction == "fill" else T
+                out = jnp.einsum(
+                    "gmi,gij->gmj", sel, Tx, preferred_element_type=rows.dtype
+                ) * a[pre + f"mask_{lv}"]
+                outs.append(out.reshape(G * m, -1))
+            rows = rows.at[a[pre + "dst_all"]].add(
+                jnp.concatenate(outs, axis=0)
+            )
+        for ti in range(meta["n_tails"]):
+            sel = jnp.take(rows, a[pre + f"tail{ti}_src"], axis=0)
+            out = jnp.einsum(
+                "ki,kij->kj", sel, a[pre + f"tail{ti}_T"],
+                preferred_element_type=rows.dtype,
+            )
+            rows = rows.at[a[pre + f"tail{ti}_dst"]].add(out)
+        return rows
+
     def _fold_level(self, rows, tb, fill: bool):
         """One batched level of coarse-fine transfers on cols rows.
 
@@ -1756,16 +1926,39 @@ class BrickLaplaceMM:
             if a["absent_sub"].shape[0]:
                 final = final.at[a["absent_sub"]].set(0.0)
             if a["hn_sub"].shape[0]:
-                own = jnp.take(final, a["hn_sub"], axis=0)
+                if self._fill_mode == "input":
+                    # in-register input-side fill (the read_dof_values
+                    # analog, benchmark_03.h:296-317): interpolate the
+                    # constrained cells' hanging slots from their masters
+                    # IN THE COLS DOMAIN, so vmult accepts unfilled inputs
+                    # and the output fill pass disappears entirely. Each
+                    # constrained cell computes HN^T K HN u instead of
+                    # relying on the input invariant for the HN factor.
+                    u_hat = self._fill_rows(cols_u, a)
+                    own = jnp.dot(
+                        u_hat, a["K"].T, preferred_element_type=bv.dtype
+                    ) * jnp.take(a["geo_cell_sub"], a["hn_sub"])[:, None]
+                else:
+                    own = jnp.take(final, a["hn_sub"], axis=0)
                 sub_raw = self._hn_apply(own, a, transpose=True)
                 final = final.at[a["hn_sub"]].set(sub_raw)
-                for lv in sorted(self._levels, reverse=True):
-                    lz = a["level_zero"][lv]
-                    zeroed = jnp.take(final, lz["lin"], axis=0) * lz["keep"]
-                    final = self._fold_level(
-                        final, a["transfers_b"][lv], fill=False
+                if self._flat_meta:
+                    # staged batch folds; the per-level snapshot/restore
+                    # collapses to one final masking (no transfer writes an
+                    # lz row after its own level in the staged order)
+                    final = self._fold_chain_flat(final, a, "corr")
+                    lin = a["flat_lz_lin"]
+                    final = final.at[lin].set(
+                        jnp.take(final, lin, axis=0) * a["flat_lz_keep"]
                     )
-                    final = final.at[lz["lin"]].set(zeroed)
+                else:
+                    for lv in sorted(self._levels, reverse=True):
+                        lz = a["level_zero"][lv]
+                        zeroed = jnp.take(final, lz["lin"], axis=0) * lz["keep"]
+                        final = self._fold_level(
+                            final, a["transfers_b"][lv], fill=False
+                        )
+                        final = final.at[lz["lin"]].set(zeroed)
             delta = final - plain
             corr = self._scatter_cols(delta, a)  # [n_sub, N3p]
         else:
@@ -1792,6 +1985,13 @@ class BrickLaplaceMM:
         exchange vector, its rows join the fill's subset reads, and the
         volume rows merge into the ONE final subset scatter together with
         the fill's interior extension."""
+        if corr is not None and self._sub_contig:
+            # contiguous subset order: merging the correction into v is one
+            # static slice add, making the downstream write path identical
+            # in shape to the plain path (no separate corr surf trace or
+            # final subset add)
+            v = self._subset_scatter_add(v, corr, a)
+            corr = None
         if self._fill_mode == "volume":
             return self._dss_fill_volume(v, a, corr)
         ns = self.n_surf  # static int
@@ -1809,11 +2009,28 @@ class BrickLaplaceMM:
         # exchange pair stays at the plain path's width. (No node_valid
         # masking needed first: hole-node values are ~0 after the absent
         # correction, and the fill reads entity rows of present cells only.)
-        if self._n_sub and a["hn_sub"].shape[0]:
+        # fill_mode="input" resolved the constraints on the READ side, so
+        # the output stays reduced (hanging slots carry no meaning, exactly
+        # like the reference's post-distribute_local_to_global vectors) and
+        # this block is skipped.
+        if self._fill_mode != "input" and self._n_sub and a["hn_sub"].shape[0]:
             v_sub = self._take_sub(v, a)
             if corr is not None:
                 v_sub = v_sub + corr
-            add = self._fill_updates(v_sub, surf_new, a)
+            if self._fill_mode == "hybrid":
+                # volume-domain read side: land the post-DSS surface delta in
+                # the subset volumes and pull cell rows with the cheap
+                # conv-patch extraction — the EscX [ns+nX, C*n_loc] and
+                # EsI-read operands drop out of the hot path entirely. Rows
+                # the chain never reads carry true values instead of EscX's
+                # zeros, which cannot change the closure-slot diff.
+                v_sub_new = v_sub + jnp.dot(
+                    self._take_sub(delta, a), a["Es"],
+                    preferred_element_type=v.dtype,
+                )
+                add = self._fill_updates_hybrid(v_sub_new, a)
+            else:
+                add = self._fill_updates(v_sub, surf_new, a)
             # surface part rides the shared Es scatter-back; interior part
             # expands on the subset only
             delta = self._subset_scatter_add(delta, add[:, :ns], a)
@@ -1869,15 +2086,7 @@ class BrickLaplaceMM:
         == the exchange path's pooled x * 1/den)."""
         cols2 = self._extract_cols(v_sub, a)
         orig_rows = jnp.take(cols2, a["hn_sub"], axis=0)
-        for lv in sorted(self._levels):
-            lz = a["level_zero"][lv]
-            cols2 = cols2.at[lz["lin"]].set(
-                jnp.take(cols2, lz["lin"], axis=0) * lz["keep"]
-            )
-            cols2 = self._fold_level(cols2, a["transfers_b"][lv], fill=True)
-        sub2 = self._hn_apply(
-            jnp.take(cols2, a["hn_sub"], axis=0), a, transpose=False
-        )
+        sub2 = self._fill_rows(cols2, a)
         diff = (sub2 - orig_rows) * a["fill_invcov"]
         dcols = jnp.zeros_like(cols2).at[a["hn_sub"]].set(diff)
         return self._col2im_sep(dcols, self._n_sub, a)
@@ -1899,16 +2108,43 @@ class BrickLaplaceMM:
         cols2 = jnp.dot(
             inp_sub, a["EscX"], preferred_element_type=inp_sub.dtype
         ).reshape(self._n_sub * C, -1)
-        orig_rows = jnp.take(cols2, a["hn_sub"], axis=0)
-        for lv in sorted(self._levels):
-            lz = a["level_zero"][lv]
-            cols2 = cols2.at[lz["lin"]].set(
-                jnp.take(cols2, lz["lin"], axis=0) * lz["keep"]
+        return self._fill_chain_efx(cols2, a)
+
+    def _fill_updates_hybrid(self, v_sub_new, a):
+        """Hybrid fill updates (fill_mode="hybrid"): volume-domain read —
+        conv-patch cell rows of the post-DSS subset volumes (identical to
+        the EscX expansion on every slot the fold/HN chain reads, since the
+        surfX set covers the chain's read set by construction) — with the
+        exchange-domain EFX write-back of _fill_updates."""
+        cols2 = self._extract_cols(v_sub_new, a)
+        return self._fill_chain_efx(cols2, a)
+
+    def _fill_rows(self, cols2, a):
+        """Fold/HN chain of the fill on cell rows [n_sub*C, n_loc]: returns
+        the FILLED hn rows (hanging closure slots replaced by their
+        master-interpolated values, chained through levels coarse-first)."""
+        if self._flat_meta:
+            lin = a["flat_lz_lin"]
+            cols2 = cols2.at[lin].set(
+                jnp.take(cols2, lin, axis=0) * a["flat_lz_keep"]
             )
-            cols2 = self._fold_level(cols2, a["transfers_b"][lv], fill=True)
-        sub2 = self._hn_apply(
+            cols2 = self._fold_chain_flat(cols2, a, "fill")
+        else:
+            for lv in sorted(self._levels):
+                lz = a["level_zero"][lv]
+                cols2 = cols2.at[lz["lin"]].set(
+                    jnp.take(cols2, lz["lin"], axis=0) * lz["keep"]
+                )
+                cols2 = self._fold_level(cols2, a["transfers_b"][lv], fill=True)
+        return self._hn_apply(
             jnp.take(cols2, a["hn_sub"], axis=0), a, transpose=False
         )
+
+    def _fill_chain_efx(self, cols2, a):
+        """Shared tail of the fill pass: fold/HN chain on cell rows, then
+        the coverage-divided closure-slot updates [n_sub, n_surfX]."""
+        orig_rows = jnp.take(cols2, a["hn_sub"], axis=0)
+        sub2 = self._fill_rows(cols2, a)
         # node updates from changed (constrained) cells only; every
         # covering writer holds the same value, so divide by the
         # (static, precomputed) coverage count. diff is provably zero
@@ -1935,7 +2171,10 @@ class BrickLaplaceMM:
             return jnp.where(a["node_valid"], v, 0.0)
         ns = self.n_surf
         surf = jnp.dot(v, a["Es"].T, preferred_element_type=v.dtype)
-        add = self._fill_updates(self._take_sub(v, a), surf, a)
+        if self._fill_mode in ("hybrid", "input"):
+            add = self._fill_updates_hybrid(self._take_sub(v, a), a)
+        else:
+            add = self._fill_updates(self._take_sub(v, a), surf, a)
         dsurf = self._subset_scatter_add(
             jnp.zeros_like(surf), add[:, :ns], a
         )

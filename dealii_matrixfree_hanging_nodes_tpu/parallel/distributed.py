@@ -55,11 +55,6 @@ class DistributedLaplace:
             raise ValueError(f"unknown exchange mode {exchange!r}")
         if exchange == "halo" and sm_group_size:
             raise ValueError("halo exchange and sm groups are exclusive")
-        if mf.high_order_mapping:
-            raise NotImplementedError(
-                "DistributedLaplace supports Cartesian mappings only (its "
-                "kernel scales gradients by the per-axis geo factors)"
-            )
         self.mf = mf
         self.exchange = exchange
         devices = devices if devices is not None else jax.devices()
@@ -205,6 +200,25 @@ class DistributedLaplace:
 
         sm = self.sm_group_size
 
+        if mf.high_order_mapping:
+            # deformed (MappingQCache analog, benchmark_01.h:227-242): geo is
+            # the packed per-quad-point symmetric metric [c, n_q, d*(d+1)/2]
+            # (quadrature weights folded in), applied exactly as in the
+            # single-chip kernel (models/laplace.py)
+            pairs = [(x, y) for x in range(dim) for y in range(x, dim)]
+
+            def scale_gradients(g, geo):
+                out = [jnp.zeros_like(g[:, 0]) for _ in range(dim)]
+                for k, (x, y) in enumerate(pairs):
+                    out[x] = out[x] + geo[:, :, k] * g[:, y]
+                    if x != y:
+                        out[y] = out[y] + geo[:, :, k] * g[:, x]
+                return jnp.stack(out, axis=1)
+        else:
+            # Cartesian: per-axis factors [c, dim] times the quadrature weight
+            def scale_gradients(g, geo):
+                return g * geo[:, :, None] * mf.quad_w[None, None, :]
+
         def local_vmult(src_own, dofmap, masks, geo):
             # src_own: [1, n_own_max] local shard; squeeze rank axis
             src_own = src_own[0]
@@ -221,7 +235,7 @@ class DistributedLaplace:
             u = full[dofmap]
             u = apply_hanging_node_constraints(u, masks, mf.P, dim, False)
             g = evaluate_gradients(u, mf.S, mf.Dc, dim)
-            g = g * geo[:, :, None] * mf.quad_w[None, None, :]
+            g = scale_gradients(g, geo)
             v = integrate_gradients(g, mf.S, mf.Dc, dim)
             v = apply_hanging_node_constraints(v, masks, mf.P, dim, True)
             contrib = jnp.zeros(self.n_padded, dtype=v.dtype)
@@ -255,7 +269,7 @@ class DistributedLaplace:
                 u = local[dm_local]
                 u = apply_hanging_node_constraints(u, masks, mf.P, dim, False)
                 g = evaluate_gradients(u, mf.S, mf.Dc, dim)
-                g = g * geo[:, :, None] * mf.quad_w[None, None, :]
+                g = scale_gradients(g, geo)
                 v = integrate_gradients(g, mf.S, mf.Dc, dim)
                 v = apply_hanging_node_constraints(v, masks, mf.P, dim, True)
                 acc = jnp.zeros(halo["local_size"], dtype=v.dtype)

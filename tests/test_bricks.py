@@ -198,3 +198,45 @@ def test_fill_volume_mode_matches_exchange(geo, dim, nref, p):
     r1 = np.asarray(ops["exch"].refill(bv))
     r2 = np.asarray(ops["vol"].refill(bv))
     assert np.abs(r1 - r2).max() <= 1e-13 * max(np.abs(r1).max(), 1.0)
+
+
+@pytest.mark.parametrize(
+    "geo,dim,nref,p",
+    [("quadrant", 3, 4, 4), ("quadrant", 3, 4, 2), ("annulus", 3, 4, 3),
+     ("step", 3, 3, 3), ("quadrant", 2, 5, 3)],
+)
+def test_fill_hybrid_and_input_modes(geo, dim, nref, p):
+    """fill_mode="hybrid" (volume read, exchange write) equals exchange on
+    the full brick vector; fill_mode="input" (read_dof_values analog:
+    constraints resolved in the cols domain on gather, reduced output)
+    equals it on the reduced image, accepts UNFILLED inputs (chained
+    vmult), and its refill restores the invariant."""
+    tria = mfhn.create_geometry(geo, dim, nref)
+    mf = MatrixFree(tria, degree=p, dtype=np.float64)
+    rng = np.random.default_rng(4)
+    u = rng.standard_normal(mf.n_dofs)
+    ops = {
+        m: BrickLaplaceMM(mf, matmul_precision="highest",
+                          fill_mode=m, col2im="onehot")
+        for m in ("exchange", "hybrid", "input")
+    }
+    bv = ops["exchange"].from_dof_vector(u)
+    v_ex = ops["exchange"].vmult(bv)
+    v_hy = ops["hybrid"].vmult(bv)
+    assert np.abs(np.asarray(v_ex) - np.asarray(v_hy)).max() <= (
+        1e-13 * np.abs(np.asarray(v_ex)).max()
+    )
+    red_ex = ops["exchange"].to_dof_vector(v_ex, zero_hanging=True)
+    v_in = ops["input"].vmult(bv)
+    red_in = ops["input"].to_dof_vector(v_in, zero_hanging=True)
+    assert np.abs(red_ex - red_in).max() <= 1e-13 * np.abs(red_ex).max()
+    # chained: the second input-fill vmult consumes the unfilled output
+    red2_ex = ops["exchange"].to_dof_vector(
+        ops["exchange"].vmult(v_ex), zero_hanging=True)
+    red2_in = ops["input"].to_dof_vector(
+        ops["input"].vmult(v_in), zero_hanging=True)
+    assert np.abs(red2_ex - red2_in).max() <= 1e-12 * np.abs(red2_ex).max()
+    # refill of the unfilled output == from_dof_vector of its reduced image
+    rf = np.asarray(ops["input"].refill(v_in))
+    fb = np.asarray(ops["input"].from_dof_vector(red_in))
+    assert np.abs(rf - fb).max() <= 1e-12 * max(np.abs(fb).max(), 1.0)

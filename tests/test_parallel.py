@@ -48,6 +48,23 @@ def test_distributed_matches_single_chip():
         assert np.abs(got - ref).max() < 1e-12 * np.abs(ref).max(), n_dev
 
 
+def test_distributed_deformed_matches_single_chip():
+    """Deformed (MappingQCache analog) vmult under the same distributed
+    stack as Cartesian — the reference runs TestHighOrderMapping
+    (benchmark_01.h:227-242) under the identical MPI stack; multi-device
+    must equal single-chip to machine precision for both exchanges."""
+    t = mfhn.create_quadrant(3, 3)
+    mf = MatrixFree(t, 2, dtype=np.float64, high_order_mapping=True)
+    op = LaplaceOperator(mf)
+    rng = np.random.default_rng(0)
+    src = rng.standard_normal(mf.n_dofs)
+    ref = np.asarray(op.vmult(src))
+    for exchange in ("allgather", "halo"):
+        dop = DistributedLaplace(mf, devices=jax.devices()[:8], exchange=exchange)
+        got = dop.gather_vector(dop.vmult(dop.scatter_vector(src)))
+        assert np.abs(got - ref).max() < 1e-12 * np.abs(ref).max(), exchange
+
+
 def test_distributed_weighted_repartition():
     t = mfhn.create_quadrant(3, 3)
     mf = MatrixFree(t, 2, dtype=np.float64)
