@@ -922,14 +922,16 @@ class BrickLaplaceMM:
         degree = mf.degree
         if fill_mode is None:
             # Per-degree default from the honest (post fetch-sync fix) fill
-            # A/B matrix (results/queue_raw/q_fillab*.out): exchange-domain
-            # fill wins at p>=3 (quadrant r7 p=4: 16.4 ms vs 22.9 volume;
-            # annulus r6: ~6% vs ~13-21% overhead), but its EscX/EFX pair
-            # scales with C*n_loc and loses badly at low degree (r8 p=2:
-            # 106 ms vs 67 volume; r8 p=1: 56 vs 52) where bricks hold many
-            # small cells — there the volume-domain fill wins.
+            # A/B matrix (results/queue_raw/q_fillab*.out, results/r4/):
+            # input-side resolution (the read_dof_values analog) wins at
+            # p>=3 (quadrant r7 p=4: 14.4 ms vs 15.9 exchange vs 22.9
+            # volume) since the output fill pass disappears entirely; the
+            # exchange EscX/EFX pair scales with C*n_loc and loses badly at
+            # low degree (r8 p=2: 106 ms vs 67 volume; r8 p=1: 56 vs 52)
+            # where bricks hold many small cells — there the volume-domain
+            # fill wins.
             fill_mode = os.environ.get(
-                "BRICK_FILL", "exchange" if degree >= 3 else "volume"
+                "BRICK_FILL", "input" if degree >= 3 else "volume"
             )
         if fill_mode not in ("exchange", "volume", "hybrid", "input"):
             raise ValueError(f"unknown fill_mode {fill_mode!r}")
@@ -1180,7 +1182,7 @@ class BrickLaplaceMM:
         # unfilled closure slots see 0 in both schedules; correction: after
         # — no transfer writes an lz row once its finer level ran, which is
         # what staging guarantees).
-        self._chain_mode = os.environ.get("BRICK_CHAIN", "flat")
+        self._chain_mode = os.environ.get("BRICK_CHAIN", "compact")
 
         def _stage_chain(direction):
             order = levels if direction == "fill" else list(reversed(levels))
@@ -1280,7 +1282,7 @@ class BrickLaplaceMM:
 
         flat_arrays = {}
         self._flat_meta = {}
-        if len(hn_sub) and self._chain_mode == "flat":
+        if len(hn_sub) and self._chain_mode in ("flat", "compact"):
             all_lz_lin = np.concatenate(
                 [level_zero[lv]["lin"] for lv in levels]
             ).astype(np.int32)
@@ -1297,6 +1299,102 @@ class BrickLaplaceMM:
                     for k, v in t.items():
                         flat_arrays[f"{direction}_tail{ti}_{k}"] = v
                 self._flat_meta[direction] = meta
+
+        # ---- compact-space chain schedules (chain_mode="compact") -------
+        # The flat schedule still runs its lz mask, scatter-add and delta
+        # subtraction on the FULL [n_sub*C, n_loc] cols array — three
+        # full-size passes per chain that dominate the measured HN overhead
+        # at quadrant nref=7 (results/r4/eta_input*_q7.out). Key structural
+        # facts (asserted below): every fill destination, every corr source
+        # and every tail row is an hn row, and the lz row set IS hn_sub. So
+        # the whole chain lives in the compact [n_hn, n_loc] space:
+        #   fill: base = cols_u[hn]*keep (lz masking on 26k rows, not a
+        #         full-array set), stage-1 outs scatter-add into the
+        #         compact buffer, tails read/write it locally;
+        #   corr: stage-1 gathers from sub_raw DIRECTLY (no full-size
+        #         final.at[hn].set first), hn-destined folds accumulate
+        #         compactly, non-hn folds go straight into the sparse
+        #         dcols delta (so `final - plain` is never materialized).
+        # Padded grid slots are dropped by static real-position gathers
+        # instead of mask multiplies.
+        if len(hn_sub) and self._chain_mode == "compact":
+            pos_in_hn = np.full(len(sub_ids) * C, -1, dtype=np.int64)
+            pos_in_hn[hn_sub] = np.arange(len(hn_sub))
+            keep_hn = np.zeros((len(hn_sub), n_loc))
+            keep_hn[pos_in_hn[flat_arrays["lz_lin"]]] = np.asarray(
+                flat_arrays["lz_keep"], dtype=np.float64
+            )
+            flat_arrays["cp_keep_hn"] = np.asarray(keep_hn, dtype=mf.dtype)
+            in_hn = np.zeros(len(sub_ids) * C, dtype=bool)
+            in_hn[hn_sub] = True
+
+            def _i32(x):
+                return np.ascontiguousarray(np.asarray(x), dtype=np.int32)
+
+            for direction in ("fill", "corr"):
+                meta = self._flat_meta[direction]
+                src = np.asarray(flat_arrays[f"{direction}_src_all"],
+                                 dtype=np.int64)
+                dst = np.asarray(flat_arrays[f"{direction}_dst_all"],
+                                 dtype=np.int64)
+                mask = (
+                    np.concatenate([
+                        np.asarray(
+                            flat_arrays[f"{direction}_mask_{lv}"]
+                        ).reshape(-1)
+                        for lv, off, G, m in meta["segs"]
+                    ]) > 0
+                    if len(src)
+                    else np.zeros(0, dtype=bool)
+                )
+                real = np.nonzero(mask)[0]
+                if direction == "fill":
+                    assert in_hn[dst[real]].all()
+                    fix = real[in_hn[src[real]]]
+                    flat_arrays["cp_fill_fix_idx"] = _i32(fix)
+                    flat_arrays["cp_fill_fix_local"] = _i32(
+                        pos_in_hn[src[fix]]
+                    )
+                    flat_arrays["cp_fill_real_pos"] = _i32(real)
+                    flat_arrays["cp_fill_dst_local"] = _i32(
+                        pos_in_hn[dst[real]]
+                    )
+                    for ti in range(meta["n_tails"]):
+                        ts = np.asarray(
+                            flat_arrays[f"fill_tail{ti}_src"], dtype=np.int64)
+                        td = np.asarray(
+                            flat_arrays[f"fill_tail{ti}_dst"], dtype=np.int64)
+                        assert in_hn[ts].all() and in_hn[td].all()
+                        flat_arrays[f"cp_fill_tail{ti}_src_local"] = _i32(
+                            pos_in_hn[ts])
+                        flat_arrays[f"cp_fill_tail{ti}_dst_local"] = _i32(
+                            pos_in_hn[td])
+                else:
+                    assert in_hn[src[real]].all()
+                    flat_arrays["cp_corr_src_local"] = _i32(
+                        np.maximum(pos_in_hn[src], 0))
+                    hn_pos = real[in_hn[dst[real]]]
+                    nh_pos = real[~in_hn[dst[real]]]
+                    flat_arrays["cp_corr_hn_pos"] = _i32(hn_pos)
+                    flat_arrays["cp_corr_hn_dst_local"] = _i32(
+                        pos_in_hn[dst[hn_pos]])
+                    flat_arrays["cp_corr_nh_pos"] = _i32(nh_pos)
+                    flat_arrays["cp_corr_nh_dst"] = _i32(dst[nh_pos])
+                    for ti in range(meta["n_tails"]):
+                        ts = np.asarray(
+                            flat_arrays[f"corr_tail{ti}_src"], dtype=np.int64)
+                        td = np.asarray(
+                            flat_arrays[f"corr_tail{ti}_dst"], dtype=np.int64)
+                        assert in_hn[ts].all()
+                        flat_arrays[f"cp_corr_tail{ti}_src_local"] = _i32(
+                            pos_in_hn[ts])
+                        thn = np.nonzero(in_hn[td])[0]
+                        tnh = np.nonzero(~in_hn[td])[0]
+                        flat_arrays[f"cp_corr_tail{ti}_hn_pos"] = _i32(thn)
+                        flat_arrays[f"cp_corr_tail{ti}_hn_dst_local"] = _i32(
+                            pos_in_hn[td[thn]])
+                        flat_arrays[f"cp_corr_tail{ti}_nh_pos"] = _i32(tnh)
+                        flat_arrays[f"cp_corr_tail{ti}_nh_dst"] = _i32(td[tnh])
 
         # mask-sorted contiguous HN groups -> one composite [n_loc, n_loc]
         # matmul per distinct mask (hn cells were sorted by mask in
@@ -1630,6 +1728,12 @@ class BrickLaplaceMM:
 
     def to_dof_vector(self, bv, zero_hanging=False):
         bs = self.bs
+        if self._fill_mode == "input" and not zero_hanging:
+            # input-fill vmult outputs are REDUCED (hanging slots carry no
+            # meaning, like the reference's post-distribute vectors);
+            # restore the invariant so the dof vector's hanging entries
+            # hold their master-interpolated values
+            bv = self.refill(bv)
         arr = np.asarray(bv)[:, : self.N3].reshape(-1)
         u = arr[bs.owner_node_of_dof]
         if zero_hanging:
@@ -1922,45 +2026,70 @@ class BrickLaplaceMM:
             plain = jnp.dot(cols_u, a["K"].T, preferred_element_type=bv.dtype)
             # per-cell scale BEFORE folds (levels differ)
             plain = plain * a["geo_cell_sub"][:, None]
-            final = plain
-            if a["absent_sub"].shape[0]:
-                final = final.at[a["absent_sub"]].set(0.0)
-            if a["hn_sub"].shape[0]:
+            n_hn = int(a["hn_sub"].shape[0])
+            if self._chain_mode == "compact" and self._flat_meta and n_hn:
+                # compact-space correction: no full-size final/lz/delta
+                # passes (see _corr_compact)
+                plain_hn = jnp.take(plain, a["hn_sub"], axis=0)
                 if self._fill_mode == "input":
                     # in-register input-side fill (the read_dof_values
                     # analog, benchmark_03.h:296-317): interpolate the
                     # constrained cells' hanging slots from their masters
                     # IN THE COLS DOMAIN, so vmult accepts unfilled inputs
-                    # and the output fill pass disappears entirely. Each
-                    # constrained cell computes HN^T K HN u instead of
-                    # relying on the input invariant for the HN factor.
+                    # and the output fill pass disappears entirely.
                     u_hat = self._fill_rows(cols_u, a)
                     own = jnp.dot(
                         u_hat, a["K"].T, preferred_element_type=bv.dtype
                     ) * jnp.take(a["geo_cell_sub"], a["hn_sub"])[:, None]
                 else:
-                    own = jnp.take(final, a["hn_sub"], axis=0)
+                    own = plain_hn
                 sub_raw = self._hn_apply(own, a, transpose=True)
-                final = final.at[a["hn_sub"]].set(sub_raw)
-                if self._flat_meta:
-                    # staged batch folds; the per-level snapshot/restore
-                    # collapses to one final masking (no transfer writes an
-                    # lz row after its own level in the staged order)
-                    final = self._fold_chain_flat(final, a, "corr")
-                    lin = a["flat_lz_lin"]
-                    final = final.at[lin].set(
-                        jnp.take(final, lin, axis=0) * a["flat_lz_keep"]
+                dcols = self._corr_compact(plain, plain_hn, sub_raw, a)
+                corr = self._scatter_cols(dcols, a)  # [n_sub, N3p]
+            elif self._chain_mode == "compact" and not n_hn:
+                # hole-only subset: same sparse delta as the plain path
+                dcols = jnp.zeros_like(plain)
+                if a["absent_sub"].shape[0]:
+                    dcols = dcols.at[a["absent_sub"]].set(
+                        -jnp.take(plain, a["absent_sub"], axis=0)
                     )
-                else:
-                    for lv in sorted(self._levels, reverse=True):
-                        lz = a["level_zero"][lv]
-                        zeroed = jnp.take(final, lz["lin"], axis=0) * lz["keep"]
-                        final = self._fold_level(
-                            final, a["transfers_b"][lv], fill=False
+                corr = self._scatter_cols(dcols, a)
+            else:
+                final = plain
+                if a["absent_sub"].shape[0]:
+                    final = final.at[a["absent_sub"]].set(0.0)
+                if n_hn:
+                    if self._fill_mode == "input":
+                        # input-side fill, full-size schedule (see above)
+                        u_hat = self._fill_rows(cols_u, a)
+                        own = jnp.dot(
+                            u_hat, a["K"].T, preferred_element_type=bv.dtype
+                        ) * jnp.take(a["geo_cell_sub"], a["hn_sub"])[:, None]
+                    else:
+                        own = jnp.take(final, a["hn_sub"], axis=0)
+                    sub_raw = self._hn_apply(own, a, transpose=True)
+                    final = final.at[a["hn_sub"]].set(sub_raw)
+                    if self._flat_meta:
+                        # staged batch folds; the per-level snapshot/restore
+                        # collapses to one final masking (no transfer writes
+                        # an lz row after its own level in the staged order)
+                        final = self._fold_chain_flat(final, a, "corr")
+                        lin = a["flat_lz_lin"]
+                        final = final.at[lin].set(
+                            jnp.take(final, lin, axis=0) * a["flat_lz_keep"]
                         )
-                        final = final.at[lz["lin"]].set(zeroed)
-            delta = final - plain
-            corr = self._scatter_cols(delta, a)  # [n_sub, N3p]
+                    else:
+                        for lv in sorted(self._levels, reverse=True):
+                            lz = a["level_zero"][lv]
+                            zeroed = (
+                                jnp.take(final, lz["lin"], axis=0) * lz["keep"]
+                            )
+                            final = self._fold_level(
+                                final, a["transfers_b"][lv], fill=False
+                            )
+                            final = final.at[lz["lin"]].set(zeroed)
+                delta = final - plain
+                corr = self._scatter_cols(delta, a)  # [n_sub, N3p]
         else:
             corr = None
 
@@ -2123,6 +2252,10 @@ class BrickLaplaceMM:
         """Fold/HN chain of the fill on cell rows [n_sub*C, n_loc]: returns
         the FILLED hn rows (hanging closure slots replaced by their
         master-interpolated values, chained through levels coarse-first)."""
+        if self._chain_mode == "compact" and self._flat_meta:
+            return self._hn_apply(
+                self._fill_hn_compact(cols2, a), a, transpose=False
+            )
         if self._flat_meta:
             lin = a["flat_lz_lin"]
             cols2 = cols2.at[lin].set(
@@ -2139,6 +2272,113 @@ class BrickLaplaceMM:
         return self._hn_apply(
             jnp.take(cols2, a["hn_sub"], axis=0), a, transpose=False
         )
+
+    def _fill_hn_compact(self, cols_u, a):
+        """Compact-space fill chain (chain_mode="compact"): the lz masking,
+        fold scatter and tail stages all act on a [n_hn, n_loc] buffer —
+        never on the full cols array. Equal to the flat schedule: every
+        fill destination and every tail row is an hn row (asserted at
+        build), padded grid slots are dropped by the static real-position
+        gather, and hn-row sources read the masked base exactly as the
+        masked-cols2 schedule does."""
+        meta = self._flat_meta["fill"]
+        base = jnp.take(cols_u, a["hn_sub"], axis=0) * a["flat_cp_keep_hn"]
+        filled = base
+        if a["flat_fill_src_all"].shape[0]:
+            sel = jnp.take(cols_u, a["flat_fill_src_all"], axis=0)
+            if a["flat_cp_fill_fix_idx"].shape[0]:
+                sel = sel.at[a["flat_cp_fill_fix_idx"]].set(
+                    jnp.take(base, a["flat_cp_fill_fix_local"], axis=0)
+                )
+            outs = []
+            for lv, off, G, m in meta["segs"]:
+                T = a["transfers_b"][lv]["T"]
+                out = jnp.einsum(
+                    "gmi,gij->gmj",
+                    sel[off:off + G * m].reshape(G, m, -1),
+                    jnp.swapaxes(T, 1, 2),
+                    preferred_element_type=cols_u.dtype,
+                )
+                outs.append(out.reshape(G * m, -1))
+            outs = jnp.concatenate(outs, axis=0)
+            filled = filled.at[a["flat_cp_fill_dst_local"]].add(
+                jnp.take(outs, a["flat_cp_fill_real_pos"], axis=0)
+            )
+        for ti in range(meta["n_tails"]):
+            sel_t = jnp.take(
+                filled, a[f"flat_cp_fill_tail{ti}_src_local"], axis=0
+            )
+            out_t = jnp.einsum(
+                "ki,kij->kj", sel_t, a[f"flat_fill_tail{ti}_T"],
+                preferred_element_type=cols_u.dtype,
+            )
+            filled = filled.at[a[f"flat_cp_fill_tail{ti}_dst_local"]].add(out_t)
+        return filled
+
+    def _corr_compact(self, plain, plain_hn, sub_raw, a):
+        """Compact-space correction chain + sparse delta assembly
+        (chain_mode="compact"): returns dcols = final - plain without ever
+        materializing `final`. Corr sources are hn rows (asserted at
+        build) so stage 1 gathers from sub_raw directly; hn-destined fold
+        contributions accumulate in a [n_hn, n_loc] buffer (tails read
+        sub_raw + acc, the exact pre-lz sequential state); non-hn
+        contributions scatter-add straight into the sparse delta. The lz
+        zeroing collapses to one keep multiply on the hn rows."""
+        meta = self._flat_meta["corr"]
+        acc = None
+        nh_parts = []
+        if a["flat_corr_src_all"].shape[0]:
+            sel = jnp.take(sub_raw, a["flat_cp_corr_src_local"], axis=0)
+            outs = []
+            for lv, off, G, m in meta["segs"]:
+                T = a["transfers_b"][lv]["T"]
+                out = jnp.einsum(
+                    "gmi,gij->gmj",
+                    sel[off:off + G * m].reshape(G, m, -1),
+                    T,
+                    preferred_element_type=sub_raw.dtype,
+                )
+                outs.append(out.reshape(G * m, -1))
+            outs = jnp.concatenate(outs, axis=0)
+            if a["flat_cp_corr_hn_pos"].shape[0]:
+                acc = jnp.zeros_like(sub_raw).at[
+                    a["flat_cp_corr_hn_dst_local"]
+                ].add(jnp.take(outs, a["flat_cp_corr_hn_pos"], axis=0))
+            if a["flat_cp_corr_nh_pos"].shape[0]:
+                nh_parts.append((
+                    a["flat_cp_corr_nh_dst"],
+                    jnp.take(outs, a["flat_cp_corr_nh_pos"], axis=0),
+                ))
+        for ti in range(meta["n_tails"]):
+            cur = sub_raw if acc is None else sub_raw + acc
+            sel_t = jnp.take(
+                cur, a[f"flat_cp_corr_tail{ti}_src_local"], axis=0
+            )
+            out_t = jnp.einsum(
+                "ki,kij->kj", sel_t, a[f"flat_corr_tail{ti}_T"],
+                preferred_element_type=sub_raw.dtype,
+            )
+            if a[f"flat_cp_corr_tail{ti}_hn_pos"].shape[0]:
+                upd = jnp.take(out_t, a[f"flat_cp_corr_tail{ti}_hn_pos"], axis=0)
+                ali = a[f"flat_cp_corr_tail{ti}_hn_dst_local"]
+                acc = (jnp.zeros_like(sub_raw) if acc is None else acc
+                       ).at[ali].add(upd)
+            if a[f"flat_cp_corr_tail{ti}_nh_pos"].shape[0]:
+                nh_parts.append((
+                    a[f"flat_cp_corr_tail{ti}_nh_dst"],
+                    jnp.take(out_t, a[f"flat_cp_corr_tail{ti}_nh_pos"], axis=0),
+                ))
+        final_hn = sub_raw if acc is None else sub_raw + acc
+        final_hn = final_hn * a["flat_cp_keep_hn"] - plain_hn
+        dcols = jnp.zeros_like(plain)
+        if a["absent_sub"].shape[0]:
+            dcols = dcols.at[a["absent_sub"]].set(
+                -jnp.take(plain, a["absent_sub"], axis=0)
+            )
+        dcols = dcols.at[a["hn_sub"]].set(final_hn)
+        for idx, rows in nh_parts:
+            dcols = dcols.at[idx].add(rows)
+        return dcols
 
     def _fill_chain_efx(self, cols2, a):
         """Shared tail of the fill pass: fold/HN chain on cell rows, then

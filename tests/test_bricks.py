@@ -240,3 +240,31 @@ def test_fill_hybrid_and_input_modes(geo, dim, nref, p):
     rf = np.asarray(ops["input"].refill(v_in))
     fb = np.asarray(ops["input"].from_dof_vector(red_in))
     assert np.abs(rf - fb).max() <= 1e-12 * max(np.abs(fb).max(), 1.0)
+
+
+@pytest.mark.parametrize(
+    "geo,dim,nref,p,fm",
+    [("quadrant", 3, 4, 4, "input"), ("annulus", 3, 4, 3, "input"),
+     ("annulus", 3, 4, 3, "exchange"), ("quadrant", 3, 4, 2, "volume")],
+)
+def test_chain_mode_compact_matches_flat(geo, dim, nref, p, fm, monkeypatch):
+    """chain_mode="compact" (all fold/lz/delta work in the [n_hn, n_loc]
+    space, sparse delta assembly) equals the staged "flat" schedule on
+    vmult and refill — including the annulus meshes with genuine
+    multi-level constraint chains (tail stages)."""
+    tria = mfhn.create_geometry(geo, dim, nref)
+    mf = MatrixFree(tria, degree=p, dtype=np.float64)
+    rng = np.random.default_rng(7)
+    u = rng.standard_normal(mf.n_dofs)
+    ops = {}
+    for cm in ("flat", "compact"):
+        monkeypatch.setenv("BRICK_CHAIN", cm)
+        ops[cm] = BrickLaplaceMM(mf, matmul_precision="highest", fill_mode=fm)
+    bv = ops["flat"].from_dof_vector(u)
+    rf = ops["flat"].to_dof_vector(ops["flat"].vmult(bv), zero_hanging=True)
+    rc = ops["compact"].to_dof_vector(
+        ops["compact"].vmult(bv), zero_hanging=True)
+    assert np.abs(rf - rc).max() <= 1e-13 * np.abs(rf).max()
+    ff = np.asarray(ops["flat"].refill(ops["flat"].vmult(bv)))
+    fc = np.asarray(ops["compact"].refill(ops["compact"].vmult(bv)))
+    assert np.abs(ff - fc).max() <= 1e-13 * max(np.abs(ff).max(), 1.0)
