@@ -8,7 +8,10 @@ kernel 100x to a batch of cell-local value arrays, proving the kernel is a
 pure function of (1D shape data, 9-bit mask, cell values). Profiler traces
 (utils.timing.trace) replace the LIKWID markers.
 
-  python benchmarks/benchmark_00.py [degree] [n_cells] [--trace]
+  python benchmarks/benchmark_00.py [degree] [n_cells] [n_components] [--trace]
+
+n_components > 1 exercises the vector-valued factory signature
+(benchmark_00_likwid.cc:56-59): component blocks share the per-cell mask.
 """
 
 from __future__ import annotations
@@ -29,18 +32,23 @@ from dealii_matrixfree_hanging_nodes_tpu.ops.hanging_nodes import (
 from dealii_matrixfree_hanging_nodes_tpu.utils.timing import repeat_timed, trace
 
 
-def run(degree: int = 4, n_cells: int = 4096, dim: int = 3, do_trace: bool = False):
+def run(degree: int = 4, n_cells: int = 4096, dim: int = 3,
+        do_trace: bool = False, n_components: int = 1):
     si = shape_info(degree)
     mask = 1 | (0b111 << dim)  # subcell=1, all faces constrained, no edges
     masks = jnp.full((n_cells,), mask, dtype=jnp.int32)
     P = jnp.asarray(si.P, dtype=jnp.float32)
     rng = np.random.default_rng(0)
     data = jnp.asarray(
-        rng.standard_normal((n_cells, (degree + 1) ** dim)), jnp.float32
+        rng.standard_normal(
+            (n_cells, n_components * (degree + 1) ** dim)
+        ), jnp.float32
     )
 
     fn = jax.jit(
-        lambda v, m, p: apply_hanging_node_constraints(v, m, p, dim, False)
+        lambda v, m, p: apply_hanging_node_constraints(
+            v, m, p, dim, False, n_components=n_components
+        )
     )
     res = repeat_timed(lambda v: fn(v, masks, P), data, n_reps=100, n_trials=3)
     if do_trace:
@@ -53,6 +61,7 @@ def run(degree: int = 4, n_cells: int = 4096, dim: int = 3, do_trace: bool = Fal
             {
                 "degree": degree,
                 "n_cells": n_cells,
+                "n_components": n_components,
                 "mask": mask,
                 "t_min": res.min,
                 "t_avg": res.avg,
@@ -64,6 +73,9 @@ def run(degree: int = 4, n_cells: int = 4096, dim: int = 3, do_trace: bool = Fal
 
 
 if __name__ == "__main__":
-    degree = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    n_cells = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
-    run(degree, n_cells, do_trace="--trace" in sys.argv)
+    args = [a for a in sys.argv[1:] if a != "--trace"]
+    degree = int(args[0]) if len(args) > 0 else 4
+    n_cells = int(args[1]) if len(args) > 1 else 4096
+    n_comp = int(args[2]) if len(args) > 2 else 1
+    run(degree, n_cells, do_trace="--trace" in sys.argv,
+        n_components=n_comp)

@@ -22,22 +22,39 @@ from dealii_matrixfree_hanging_nodes_tpu.utils.table import ConvergenceTable
 from dealii_matrixfree_hanging_nodes_tpu.utils.timing import repeat_timed_paired
 
 
-def run(nref=5, degree=2, n_windows=3, n_reps=50, dtype=np.float32):
+def run(nref=5, degree=2, n_windows=3, n_reps=50, dtype=np.float32,
+        engine="index"):
     tria = mfhn.create_quadrant(3, nref)
     mf = MatrixFree(tria, degree, dtype=dtype)
-    op_c = ElasticityOperator(mf, mu=1.0, lam=1.0, constraints=True)
-    op_p = ElasticityOperator(mf, mu=1.0, lam=1.0, constraints=False)
     rng = np.random.default_rng(0)
-    src = jnp.asarray(
-        rng.standard_normal((mf.n_dofs, 3)).astype(dtype)
-    )
     scale = jnp.asarray(1e-3, dtype)
-    res_c, res_p = repeat_timed_paired(
-        [lambda x: op_c.vmult(x * scale), lambda x: op_p.vmult(x * scale)],
-        [src, src], n_reps=n_reps, n_trials=n_windows,
-    )
+    if engine == "bricks":
+        from dealii_matrixfree_hanging_nodes_tpu.models.elasticity_bricks import (
+            BrickElasticity,
+        )
+
+        op = BrickElasticity(mf, mu=1.0, lam=1.0)
+        src_b = op.from_dof_vector(
+            rng.standard_normal((mf.n_dofs, 3)).astype(dtype)
+        )
+        res_c, res_p = repeat_timed_paired(
+            [lambda x: op.vmult(x * scale),
+             lambda x: op.vmult_plain(x * scale)],
+            [src_b, src_b], n_reps=n_reps, n_trials=n_windows,
+        )
+    else:
+        op_c = ElasticityOperator(mf, mu=1.0, lam=1.0, constraints=True)
+        op_p = ElasticityOperator(mf, mu=1.0, lam=1.0, constraints=False)
+        src = jnp.asarray(
+            rng.standard_normal((mf.n_dofs, 3)).astype(dtype)
+        )
+        res_c, res_p = repeat_timed_paired(
+            [lambda x: op_c.vmult(x * scale),
+             lambda x: op_p.vmult(x * scale)],
+            [src, src], n_reps=n_reps, n_trials=n_windows,
+        )
     table = ConvergenceTable()
-    table.add_value("operator", "elasticity3")
+    table.add_value("operator", f"elasticity3-{engine}")
     table.add_value("n_ref", nref)
     table.add_value("degree", degree)
     table.add_value("n_cells", mf.n_cells)
@@ -59,8 +76,10 @@ def run(nref=5, degree=2, n_windows=3, n_reps=50, dtype=np.float32):
 
 
 if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if a != "--bricks"]
     run(
-        int(sys.argv[1]) if len(sys.argv) > 1 else 5,
-        int(sys.argv[2]) if len(sys.argv) > 2 else 2,
-        int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+        int(args[0]) if len(args) > 0 else 5,
+        int(args[1]) if len(args) > 1 else 2,
+        int(args[2]) if len(args) > 2 else 3,
+        engine="bricks" if "--bricks" in sys.argv[1:] else "index",
     )

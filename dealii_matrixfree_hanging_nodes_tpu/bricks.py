@@ -921,18 +921,15 @@ class BrickLaplaceMM:
             raise ValueError(f"unknown main_path {main_path!r}")
         degree = mf.degree
         if fill_mode is None:
-            # Per-degree default from the honest (post fetch-sync fix) fill
-            # A/B matrix (results/queue_raw/q_fillab*.out, results/r4/):
-            # input-side resolution (the read_dof_values analog) wins at
-            # p>=3 (quadrant r7 p=4: 14.4 ms vs 15.9 exchange vs 22.9
-            # volume) since the output fill pass disappears entirely; the
-            # exchange EscX/EFX pair scales with C*n_loc and loses badly at
-            # low degree (r8 p=2: 106 ms vs 67 volume; r8 p=1: 56 vs 52)
-            # where bricks hold many small cells — there the volume-domain
-            # fill wins.
-            fill_mode = os.environ.get(
-                "BRICK_FILL", "input" if degree >= 3 else "volume"
-            )
+            # Default from the honest (post fetch-sync fix) fill A/B matrix
+            # (results/queue_raw/q_fillab*.out): input-side resolution (the
+            # read_dof_values analog) wins at every measured degree —
+            # quadrant r7 p=4: 14.4 ms vs 15.9 exchange vs 22.9 volume
+            # (the output fill pass disappears entirely); with the compact
+            # chain schedules it also wins at low degree where bricks hold
+            # many small cells (r8 p=2: 42.0 ms vs 48.5 volume / 83.2
+            # hybrid; r8 p=1: 32.8 vs 36.3 / 37.2 — q_fillab8p{1,2}i.out).
+            fill_mode = os.environ.get("BRICK_FILL", "input")
         if fill_mode not in ("exchange", "volume", "hybrid", "input"):
             raise ValueError(f"unknown fill_mode {fill_mode!r}")
         if fill_mode == "input" and mf.high_order_mapping:
@@ -1218,42 +1215,61 @@ class BrickLaplaceMM:
                 (int(s.max()) for lv in levels for s in pair_stage[lv]
                  if len(s)), default=1,
             )
-            # stage 1: per-level padded [G, m] grids (transfers_b layout,
-            # stage-1 pairs only) with one concatenated gather/scatter
-            st1_src, st1_dst, st1_segs = [], [], []
-            off = 0
-            st1_levels = {}
+            # stage 1: padded [G, m] grids of stage-1 pairs with one
+            # concatenated gather/scatter. Groups are pooled ACROSS levels
+            # (each bucket entry stacks its own T), sorted by pair count and
+            # greedily bucketed so the padding ratio stays bounded — the
+            # per-level single-grid layout padded 41k slots for 17k real
+            # pairs at quadrant nref=7, and the hoisted gather pays per
+            # padded row.
+            items = []  # (m1, lv, gi, srcs, dsts)
             for lv in levels:
-                gl = groups[lv]
-                m_max = 0
-                for gi, g in enumerate(gl):
-                    m_max = max(m_max, int((pair_stage[lv][gi] == 1).sum()))
-                if m_max == 0:
-                    continue
-                G = len(gl)
+                for gi, g in enumerate(groups[lv]):
+                    sel1 = pair_stage[lv][gi] == 1
+                    m1 = int(sel1.sum())
+                    if m1 == 0:
+                        continue
+                    srcs = (g["coarse"] if direction == "fill"
+                            else g["fine"])[sel1]
+                    dsts = (g["fine"] if direction == "fill"
+                            else g["coarse"])[sel1]
+                    items.append((m1, lv, gi, srcs, dsts))
+            items.sort(key=lambda it: -it[0])
+            buckets = []  # list of lists of items
+            for it in items:
+                if buckets and it[0] * 1.25 >= buckets[-1][0][0]:
+                    buckets[-1].append(it)
+                else:
+                    buckets.append([it])
+            st1_src, st1_dst, st1_segs = [], [], []
+            flat_extra = {}
+            off = 0
+            for si, bucket in enumerate(buckets):
+                G = len(bucket)
+                m_max = bucket[0][0]
                 src_pad = np.zeros((G, m_max), dtype=np.int32)
                 dst_pad = np.zeros((G, m_max), dtype=np.int32)
                 mask_pad2 = np.zeros((G, m_max, 1))
-                for gi, g in enumerate(gl):
-                    sel1 = pair_stage[lv][gi] == 1
-                    srcs = (g["coarse"] if direction == "fill" else g["fine"])[sel1]
-                    dsts = (g["fine"] if direction == "fill" else g["coarse"])[sel1]
-                    src_pad[gi, : len(srcs)] = srcs
-                    dst_pad[gi, : len(dsts)] = dsts
-                    mask_pad2[gi, : len(srcs)] = 1.0
+                T_stack = np.zeros((G, n_loc, n_loc))
+                for bi, (m1, lv, gi, srcs, dsts) in enumerate(bucket):
+                    src_pad[bi, :m1] = srcs
+                    dst_pad[bi, :m1] = dsts
+                    mask_pad2[bi, :m1] = 1.0
+                    T = groups[lv][gi]["T"]
+                    T_stack[bi] = T.T if direction == "fill" else T
                 st1_src.append(src_pad.reshape(-1))
                 st1_dst.append(dst_pad.reshape(-1))
-                st1_segs.append((lv, off, G, m_max))
-                st1_levels[lv] = np.asarray(mask_pad2, dtype=mf.dtype)
+                st1_segs.append((si, off, G, m_max))
+                flat_extra[f"T{si}"] = np.asarray(T_stack, dtype=mf.dtype)
+                flat_extra[f"mask{si}"] = np.asarray(mask_pad2, dtype=mf.dtype)
                 off += G * m_max
             flat = dict(
                 src_all=np.concatenate(st1_src).astype(np.int32)
                 if st1_src else np.zeros(0, np.int32),
                 dst_all=np.concatenate(st1_dst).astype(np.int32)
                 if st1_dst else np.zeros(0, np.int32),
+                **flat_extra,
             )
-            for lv, m in st1_levels.items():
-                flat[f"mask_{lv}"] = m
             # tail stages: per-pair stacked T (tiny by construction)
             tails = []
             for s in range(2, n_stages + 1):
@@ -1340,9 +1356,9 @@ class BrickLaplaceMM:
                 mask = (
                     np.concatenate([
                         np.asarray(
-                            flat_arrays[f"{direction}_mask_{lv}"]
+                            flat_arrays[f"{direction}_mask{si}"]
                         ).reshape(-1)
-                        for lv, off, G, m in meta["segs"]
+                        for si, off, G, m in meta["segs"]
                     ]) > 0
                     if len(src)
                     else np.zeros(0, dtype=bool)
@@ -1938,13 +1954,13 @@ class BrickLaplaceMM:
         if a[pre + "src_all"].shape[0]:
             sel_all = jnp.take(rows, a[pre + "src_all"], axis=0)
             outs = []
-            for lv, off, G, m in meta["segs"]:
+            for si, off, G, m in meta["segs"]:
                 sel = sel_all[off:off + G * m].reshape(G, m, -1)
-                T = a["transfers_b"][lv]["T"]
-                Tx = jnp.swapaxes(T, 1, 2) if direction == "fill" else T
+                # per-bucket T stacks are pre-transposed for fill at build
                 out = jnp.einsum(
-                    "gmi,gij->gmj", sel, Tx, preferred_element_type=rows.dtype
-                ) * a[pre + f"mask_{lv}"]
+                    "gmi,gij->gmj", sel, a[pre + f"T{si}"],
+                    preferred_element_type=rows.dtype,
+                ) * a[pre + f"mask{si}"]
                 outs.append(out.reshape(G * m, -1))
             rows = rows.at[a[pre + "dst_all"]].add(
                 jnp.concatenate(outs, axis=0)
@@ -2273,6 +2289,13 @@ class BrickLaplaceMM:
             jnp.take(cols2, a["hn_sub"], axis=0), a, transpose=False
         )
 
+    @staticmethod
+    def _bmask(mask, rows):
+        """Broadcast a [m, n_loc] chain mask over rows that may carry extra
+        trailing batch axes ([m, k, n_loc] in the multi-RHS / vector-valued
+        layouts)."""
+        return mask[:, None] if rows.ndim == 3 else mask
+
     def _fill_hn_compact(self, cols_u, a):
         """Compact-space fill chain (chain_mode="compact"): the lz masking,
         fold scatter and tail stages all act on a [n_hn, n_loc] buffer —
@@ -2280,9 +2303,15 @@ class BrickLaplaceMM:
         fill destination and every tail row is an hn row (asserted at
         build), padded grid slots are dropped by the static real-position
         gather, and hn-row sources read the masked base exactly as the
-        masked-cols2 schedule does."""
+        masked-cols2 schedule does.
+
+        cols_u may be [n_rows, n_loc] or [n_rows, k, n_loc] (k RHS /
+        components batched on a trailing row axis; every index array
+        addresses rows, so the chain is identical per batch entry)."""
         meta = self._flat_meta["fill"]
-        base = jnp.take(cols_u, a["hn_sub"], axis=0) * a["flat_cp_keep_hn"]
+        base = jnp.take(cols_u, a["hn_sub"], axis=0) * self._bmask(
+            a["flat_cp_keep_hn"], cols_u
+        )
         filled = base
         if a["flat_fill_src_all"].shape[0]:
             sel = jnp.take(cols_u, a["flat_fill_src_all"], axis=0)
@@ -2291,15 +2320,14 @@ class BrickLaplaceMM:
                     jnp.take(base, a["flat_cp_fill_fix_local"], axis=0)
                 )
             outs = []
-            for lv, off, G, m in meta["segs"]:
-                T = a["transfers_b"][lv]["T"]
+            for si, off, G, m in meta["segs"]:
                 out = jnp.einsum(
-                    "gmi,gij->gmj",
-                    sel[off:off + G * m].reshape(G, m, -1),
-                    jnp.swapaxes(T, 1, 2),
+                    "gm...i,gij->gm...j",
+                    sel[off:off + G * m].reshape((G, m) + sel.shape[1:]),
+                    a[f"flat_fill_T{si}"],  # pre-transposed at build
                     preferred_element_type=cols_u.dtype,
                 )
-                outs.append(out.reshape(G * m, -1))
+                outs.append(out.reshape((G * m,) + out.shape[2:]))
             outs = jnp.concatenate(outs, axis=0)
             filled = filled.at[a["flat_cp_fill_dst_local"]].add(
                 jnp.take(outs, a["flat_cp_fill_real_pos"], axis=0)
@@ -2309,7 +2337,7 @@ class BrickLaplaceMM:
                 filled, a[f"flat_cp_fill_tail{ti}_src_local"], axis=0
             )
             out_t = jnp.einsum(
-                "ki,kij->kj", sel_t, a[f"flat_fill_tail{ti}_T"],
+                "k...i,kij->k...j", sel_t, a[f"flat_fill_tail{ti}_T"],
                 preferred_element_type=cols_u.dtype,
             )
             filled = filled.at[a[f"flat_cp_fill_tail{ti}_dst_local"]].add(out_t)
@@ -2330,15 +2358,14 @@ class BrickLaplaceMM:
         if a["flat_corr_src_all"].shape[0]:
             sel = jnp.take(sub_raw, a["flat_cp_corr_src_local"], axis=0)
             outs = []
-            for lv, off, G, m in meta["segs"]:
-                T = a["transfers_b"][lv]["T"]
+            for si, off, G, m in meta["segs"]:
                 out = jnp.einsum(
-                    "gmi,gij->gmj",
-                    sel[off:off + G * m].reshape(G, m, -1),
-                    T,
+                    "gm...i,gij->gm...j",
+                    sel[off:off + G * m].reshape((G, m) + sel.shape[1:]),
+                    a[f"flat_corr_T{si}"],
                     preferred_element_type=sub_raw.dtype,
                 )
-                outs.append(out.reshape(G * m, -1))
+                outs.append(out.reshape((G * m,) + out.shape[2:]))
             outs = jnp.concatenate(outs, axis=0)
             if a["flat_cp_corr_hn_pos"].shape[0]:
                 acc = jnp.zeros_like(sub_raw).at[
@@ -2355,7 +2382,7 @@ class BrickLaplaceMM:
                 cur, a[f"flat_cp_corr_tail{ti}_src_local"], axis=0
             )
             out_t = jnp.einsum(
-                "ki,kij->kj", sel_t, a[f"flat_corr_tail{ti}_T"],
+                "k...i,kij->k...j", sel_t, a[f"flat_corr_tail{ti}_T"],
                 preferred_element_type=sub_raw.dtype,
             )
             if a[f"flat_cp_corr_tail{ti}_hn_pos"].shape[0]:
@@ -2369,7 +2396,9 @@ class BrickLaplaceMM:
                     jnp.take(out_t, a[f"flat_cp_corr_tail{ti}_nh_pos"], axis=0),
                 ))
         final_hn = sub_raw if acc is None else sub_raw + acc
-        final_hn = final_hn * a["flat_cp_keep_hn"] - plain_hn
+        final_hn = final_hn * self._bmask(
+            a["flat_cp_keep_hn"], final_hn
+        ) - plain_hn
         dcols = jnp.zeros_like(plain)
         if a["absent_sub"].shape[0]:
             dcols = dcols.at[a["absent_sub"]].set(
@@ -2734,7 +2763,36 @@ class BrickLaplaceMM:
         v = self._main_apply(bv, a)
         v = v * jnp.tile(a["geo"], k)[:, None]
 
-        if self._n_sub:
+        input_fill = (
+            self._fill_mode == "input"
+            and self._chain_mode == "compact"
+            and self._flat_meta is not None
+        )
+        if self._n_sub and input_fill and a["hn_sub"].shape[0]:
+            # input-side constraint resolution on the k-major layout: all
+            # chain work rides [_, k, n_loc] buffers (trailing-axis batch,
+            # see _fill_hn_compact); outputs stay REDUCED exactly like the
+            # single-RHS input-fill vmult.
+            nsC = self._n_sub * C
+            u_sub = self._take_sub_multi(bv, a, k)
+            cols_u = self._extract_cols(u_sub, a)  # [k*nsC, n_loc]
+            u3 = jnp.swapaxes(cols_u.reshape(k, nsC, -1), 0, 1)
+            plain3 = jnp.swapaxes(
+                jnp.dot(cols_u, a["K"].T, preferred_element_type=bv.dtype)
+                .reshape(k, nsC, -1), 0, 1,
+            ) * a["geo_cell_sub"][:, None, None]
+            plain_hn = jnp.take(plain3, a["hn_sub"], axis=0)
+            u_hat = self._fill_rows(u3, a)  # [n_hn, k, n_loc]
+            own = jnp.dot(
+                u_hat, a["K"].T, preferred_element_type=bv.dtype
+            ) * jnp.take(a["geo_cell_sub"], a["hn_sub"])[:, None, None]
+            sub_raw = self._hn_apply(own, a, transpose=True)
+            dcols3 = self._corr_compact(plain3, plain_hn, sub_raw, a)
+            delta = jnp.swapaxes(dcols3, 0, 1).reshape(k * nsC, -1)
+            v = self._subset_scatter_add_multi(
+                v, self._scatter_cols(delta, a), a, k
+            )
+        elif self._n_sub:
             u_sub = self._take_sub_multi(bv, a, k)
             cols_u = self._extract_cols(u_sub, a)  # [k*n_sub*C, n_loc]
             plain = jnp.dot(cols_u, a["K"].T, preferred_element_type=bv.dtype)
@@ -2780,12 +2838,13 @@ class BrickLaplaceMM:
                 v, self._scatter_cols(delta, a), a, k
             )
 
-        # DSS + fill on the k-major layout
+        # DSS + fill on the k-major layout (input-fill outputs stay reduced;
+        # the fill pass exists only for the output-fill modes)
         ns = self.n_surf
         surf = jnp.dot(v, a["Es"].T, preferred_element_type=v.dtype)
         surf_new = self._dss_surface_multi(surf, a, k)
         delta = surf_new - surf
-        if self._n_sub and a["hn_sub"].shape[0]:
+        if self._n_sub and a["hn_sub"].shape[0] and not input_fill:
             add = self._fill_updates_multi(v, surf_new, a, k)
             delta = self._subset_scatter_add_multi(delta, add[:, :ns], a, k)
             if self._nX:

@@ -90,18 +90,31 @@ def apply_hanging_node_constraints(
     P: jnp.ndarray,
     dim: int,
     transpose: bool = False,
+    n_components: int = 1,
 ) -> jnp.ndarray:
     """Apply (or transpose-apply) the hanging-node interpolation in-register.
 
     Parameters
     ----------
-    values : [m, (p+1)^dim] cell-local coefficients after a plain gather
+    values : [m, n_components * (p+1)^dim] cell-local coefficients after a
+        plain gather (component-major blocks, matching the reference
+        factory's n_components signature, benchmark_00_likwid.cc:56-59)
     masks  : [m] compressed constraint kinds (0 = unconstrained, identity)
     P      : [2, p+1, p+1] subface embedding matrices (ShapeInfo.P)
+    n_components : vector-valued FE component count; each component block
+        gets the same per-cell mask (the constraint structure is geometric)
     """
     n = P.shape[-1]
     p = n - 1
     m = values.shape[0]
+    if n_components > 1:
+        # fold components into the batch: same masks per component block
+        vc = values.reshape(m * n_components, -1)
+        mc = jnp.repeat(masks, n_components)
+        out = apply_hanging_node_constraints(
+            vc, mc, P, dim, transpose=transpose
+        )
+        return out.reshape(m, -1)
     masks = masks.astype(jnp.int32)
     lat = jnp.asarray(local_lattice(p, dim))  # [n_loc, dim] static
 

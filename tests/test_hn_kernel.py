@@ -84,3 +84,29 @@ def test_transpose_is_exact_adjoint():
     lhs = float((Fa * b).sum())
     rhs = float((a * FTb).sum())
     assert abs(lhs - rhs) < 1e-10 * max(1.0, abs(lhs))
+
+
+def test_multi_component_matches_per_component():
+    """n_components>1 (the reference factory's vector-valued signature,
+    benchmark_00_likwid.cc:56-59) equals applying the scalar kernel to each
+    component block."""
+    p, dim, nc = 2, 3, 3
+    t = mfhn.create_quadrant(dim, 3)
+    dh = DoFHandler(t, p)
+    ci = build_constraints(dh)
+    si = shape_info(p)
+    rng = np.random.default_rng(5)
+    m = t.n_active_cells
+    n_loc = (p + 1) ** dim
+    a = rng.standard_normal((m, nc * n_loc))
+    masks = jnp.asarray(ci.masks.astype(np.int32))
+    P = jnp.asarray(si.P)
+    for tr in (False, True):
+        got = np.asarray(apply_hanging_node_constraints(
+            jnp.asarray(a), masks, P, dim, transpose=tr, n_components=nc))
+        for c in range(nc):
+            want = np.asarray(apply_hanging_node_constraints(
+                jnp.asarray(a.reshape(m, nc, n_loc)[:, c]), masks, P, dim,
+                transpose=tr))
+            d = np.abs(got.reshape(m, nc, n_loc)[:, c] - want).max()
+            assert d == 0.0
