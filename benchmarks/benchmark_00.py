@@ -23,7 +23,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+try:
+    import dealii_matrixfree_hanging_nodes_tpu  # noqa: F401
+except ModuleNotFoundError:  # checkout use without `pip install -e .`
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from dealii_matrixfree_hanging_nodes_tpu.elements import shape_info
 from dealii_matrixfree_hanging_nodes_tpu.ops.hanging_nodes import (
@@ -72,10 +75,15 @@ def run(degree: int = 4, n_cells: int = 4096, dim: int = 3,
     return res
 
 
-if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--trace"]
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    args = [a for a in argv if a != "--trace"]
     degree = int(args[0]) if len(args) > 0 else 4
     n_cells = int(args[1]) if len(args) > 1 else 4096
     n_comp = int(args[2]) if len(args) > 2 else 1
-    run(degree, n_cells, do_trace="--trace" in sys.argv,
+    run(degree, n_cells, do_trace="--trace" in argv,
         n_components=n_comp)
+
+
+if __name__ == "__main__":
+    main()

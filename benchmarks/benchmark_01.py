@@ -28,7 +28,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+try:
+    import dealii_matrixfree_hanging_nodes_tpu  # noqa: F401
+except ModuleNotFoundError:  # checkout use without `pip install -e .`
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import dealii_matrixfree_hanging_nodes_tpu as mfhn
 from dealii_matrixfree_hanging_nodes_tpu.constraints import decompress_mask
@@ -277,9 +280,10 @@ def run_benchmark(parameters_vector, dim=3, n_reps=100, table=None):
     return table
 
 
-def main(argv):
+def main(argv=None):
     import os
 
+    argv = sys.argv if argv is None else argv
     geometry_type = argv[1] if len(argv) > 1 else "quadrant"
     n_reps = int(os.environ.get("BENCH_REPS", "100"))
     params = []

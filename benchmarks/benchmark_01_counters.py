@@ -23,7 +23,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+try:
+    import dealii_matrixfree_hanging_nodes_tpu  # noqa: F401
+except ModuleNotFoundError:  # checkout use without `pip install -e .`
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from benchmarks.benchmark_01 import Test  # noqa: E402
 from dealii_matrixfree_hanging_nodes_tpu.utils.table import (  # noqa: E402
@@ -73,8 +76,14 @@ def run(geometry="quadrant", nref=4, degree=4, trace=False, table=None):
     return table
 
 
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    args = [a for a in argv if not a.startswith("--")]
+    geometry = args[0] if len(args) > 0 else "quadrant"
+    nref = int(args[1]) if len(args) > 1 else 4
+    degree = int(args[2]) if len(args) > 2 else 4
+    run(geometry, nref, degree, trace="--trace" in argv)
+
+
 if __name__ == "__main__":
-    geometry = sys.argv[1] if len(sys.argv) > 1 else "quadrant"
-    nref = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    degree = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-    run(geometry, nref, degree, trace="--trace" in sys.argv)
+    main()

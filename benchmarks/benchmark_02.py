@@ -27,7 +27,10 @@ import sys
 import numpy as np
 import jax
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+try:
+    import dealii_matrixfree_hanging_nodes_tpu  # noqa: F401
+except ModuleNotFoundError:  # checkout use without `pip install -e .`
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import dealii_matrixfree_hanging_nodes_tpu as mfhn
 from dealii_matrixfree_hanging_nodes_tpu.matrix_free import MatrixFree
@@ -130,10 +133,11 @@ def run(
     return table
 
 
-if __name__ == "__main__":
+def main(argv=None):
     import os
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:] if argv is None else argv
+    args = [a for a in argv if not a.startswith("--")]
     geometry = args[0] if len(args) > 0 else "quadrant"
     n_ref = int(args[1]) if len(args) > 1 else 4
     degree = int(args[2]) if len(args) > 2 else 2
@@ -143,9 +147,13 @@ if __name__ == "__main__":
         n_ref,
         degree,
         csv_prefix=prefix,
-        perform_communication="--no-comm" not in sys.argv,
+        perform_communication="--no-comm" not in argv,
         n_reps=int(os.environ.get("BENCH_REPS", "100")),
-        weights=np.arange(1.0, 10.05, 0.5) if "--coarse" in sys.argv else None,
-        exchange="halo" if "--halo" in sys.argv else "allgather",
-        engine="bricks" if "--bricks" in sys.argv else "index",
+        weights=np.arange(1.0, 10.05, 0.5) if "--coarse" in argv else None,
+        exchange="halo" if "--halo" in argv else "allgather",
+        engine="bricks" if "--bricks" in argv else "index",
     )
+
+
+if __name__ == "__main__":
+    main()

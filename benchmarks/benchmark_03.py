@@ -19,7 +19,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+try:
+    import dealii_matrixfree_hanging_nodes_tpu  # noqa: F401
+except ModuleNotFoundError:  # checkout use without `pip install -e .`
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import dealii_matrixfree_hanging_nodes_tpu as mfhn
 from dealii_matrixfree_hanging_nodes_tpu.matrix_free import MatrixFree
@@ -172,13 +175,18 @@ def run(
     return table
 
 
-if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    args = [a for a in argv if not a.startswith("--")]
     geometry = args[0] if len(args) > 0 else "quadrant"
     degree = int(args[1]) if len(args) > 1 else 4
     min_ref = int(args[2]) if len(args) > 2 else 4
     max_ref = int(args[3]) if len(args) > 3 else 6
     n_windows = int(args[4]) if len(args) > 4 else 3
-    engine = "bricks" if "--bricks" in sys.argv else "index"
+    engine = "bricks" if "--bricks" in argv else "index"
     run(geometry, degree, min_ref, max_ref, engine=engine,
         n_windows=n_windows)
+
+
+if __name__ == "__main__":
+    main()

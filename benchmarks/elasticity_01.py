@@ -13,7 +13,10 @@ import sys
 import numpy as np
 import jax.numpy as jnp
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+try:
+    import dealii_matrixfree_hanging_nodes_tpu  # noqa: F401
+except ModuleNotFoundError:  # checkout use without `pip install -e .`
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import dealii_matrixfree_hanging_nodes_tpu as mfhn
 from dealii_matrixfree_hanging_nodes_tpu.matrix_free import MatrixFree
@@ -75,11 +78,16 @@ def run(nref=5, degree=2, n_windows=3, n_reps=50, dtype=np.float32,
     return table
 
 
-if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--bricks"]
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    args = [a for a in argv if a != "--bricks"]
     run(
         int(args[0]) if len(args) > 0 else 5,
         int(args[1]) if len(args) > 1 else 2,
         int(args[2]) if len(args) > 2 else 3,
-        engine="bricks" if "--bricks" in sys.argv[1:] else "index",
+        engine="bricks" if "--bricks" in argv else "index",
     )
+
+
+if __name__ == "__main__":
+    main()

@@ -17,7 +17,10 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+try:
+    import dealii_matrixfree_hanging_nodes_tpu  # noqa: F401
+except ModuleNotFoundError:  # checkout use without `pip install -e .`
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import dealii_matrixfree_hanging_nodes_tpu as mfhn
 from dealii_matrixfree_hanging_nodes_tpu.constraints import build_constraints
@@ -55,8 +58,13 @@ def run(degree: int = 4, min_ref: int = 5, max_ref: int = 7, dim: int = 3):
     return table
 
 
-if __name__ == "__main__":
-    degree = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    min_ref = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-    max_ref = int(sys.argv[3]) if len(sys.argv) > 3 else 6
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    degree = int(argv[0]) if len(argv) > 0 else 4
+    min_ref = int(argv[1]) if len(argv) > 1 else 5
+    max_ref = int(argv[2]) if len(argv) > 2 else 6
     run(degree, min_ref, max_ref)
+
+
+if __name__ == "__main__":
+    main()

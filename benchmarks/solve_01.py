@@ -19,7 +19,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+try:
+    import dealii_matrixfree_hanging_nodes_tpu  # noqa: F401
+except ModuleNotFoundError:  # checkout use without `pip install -e .`
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import dealii_matrixfree_hanging_nodes_tpu as mfhn
 from dealii_matrixfree_hanging_nodes_tpu.matrix_free import MatrixFree
@@ -102,12 +105,14 @@ def run(nref: int = 3, degree: int = 2, dtype=np.float64):
 
 
 def run_bricks(nref: int = 6, degree: int = 4, geometry: str = "quadrant",
-               dtype=np.float32):
+               dtype=np.float32, host_loop: bool = False):
     """GMG-CG entirely on the brick engine (BASELINE row 4 at benchmark
     scale, VERDICT r2 item 6): every level operator, smoother, transfer,
     and the direct coarse solve run in the flagship brick layout on the
-    chip. Reports iterations, residual reduction, and time-to-solution
-    (wall-clock around the CG loop, fetch-synced)."""
+    chip. The iteration itself is DEVICE-RESIDENT (one jitted
+    lax.while_loop; VERDICT r4 item 3) — host_loop=True keeps the
+    host-stepping debug path. Reports iterations, residual reduction, and
+    time-to-solution (wall-clock around the CG loop, fetch-synced)."""
     import time
 
     from dealii_matrixfree_hanging_nodes_tpu.models.multigrid_bricks import (
@@ -131,16 +136,24 @@ def run_bricks(nref: int = 6, degree: int = 4, geometry: str = "quadrant",
 
     b = op.vmult(xstar_b)
     np.asarray(mm.to_dof_vector(b))  # sync: exclude compile from the solve
-    # warm up EVERY program the preconditioned CG step dispatches (each
-    # level's smoother/transfer/coarse jits compile through the tunnel at
-    # 15-150 s apiece; round-3 queue measured 14.8 s/"iter" at nref=6 when
-    # the first V-cycle's compiles landed inside the timed loop)
     t0 = time.perf_counter()
-    _x, _it, _ = solve_cg(op, b, M=gmg, tol=tol, max_iter=2, dot=mm.dot)
-    float(mm.dot(_x, _x))
-    t_warm = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    x, iters, res = solve_cg(op, b, M=gmg, tol=tol, max_iter=100, dot=mm.dot)
+    if host_loop:
+        # warm up EVERY program the host-stepping CG dispatches (each
+        # level's smoother/transfer/coarse jits compile through the tunnel
+        # at 15-150 s apiece; round-3 queue measured 14.8 s/"iter" at
+        # nref=6 when the first V-cycle's compiles landed inside the loop)
+        _x, _it, _ = solve_cg(op, b, M=gmg, tol=tol, max_iter=2, dot=mm.dot)
+        float(mm.dot(_x, _x))
+        t_warm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        x, iters, res = solve_cg(op, b, M=gmg, tol=tol, max_iter=100,
+                                 dot=mm.dot)
+    else:
+        solver = gmg.make_device_solver(tol=tol, max_iter=100)
+        _x, _it, _ = solver(b)  # ONE compile: the whole while_loop program
+        t_warm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        x, iters, res = solver(b)
     r = b - op.vmult(x)
     rnorm = float(jnp.sqrt(mm.dot(r, r)))  # fetch-syncs the chain
     t_solve = time.perf_counter() - t0
@@ -167,17 +180,23 @@ def run_bricks(nref: int = 6, degree: int = 4, geometry: str = "quadrant",
     return table
 
 
-if __name__ == "__main__":
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
     if jax.default_backend() == "cpu":
         # true f64 on host (outside pytest, x64 is off by default and the
         # f64 dtype silently degrades to f32, hiding the 1e-10 tolerances)
         jax.config.update("jax_enable_x64", True)
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    args = [a for a in argv if not a.startswith("--")]
     nref = int(args[0]) if len(args) > 0 else 3
     degree = int(args[1]) if len(args) > 1 else 2
-    if "--bricks" in sys.argv:
+    if "--bricks" in argv:
         geometry = args[2] if len(args) > 2 else "quadrant"
         dt = np.float64 if jax.default_backend() == "cpu" else np.float32
-        run_bricks(nref, degree, geometry, dtype=dt)
+        run_bricks(nref, degree, geometry, dtype=dt,
+                   host_loop="--host-loop" in argv)
     else:
         run(nref, degree)
+
+
+if __name__ == "__main__":
+    main()

@@ -1336,6 +1336,13 @@ class BrickLaplaceMM:
         if len(hn_sub) and self._chain_mode == "compact":
             pos_in_hn = np.full(len(sub_ids) * C, -1, dtype=np.int64)
             pos_in_hn[hn_sub] = np.arange(len(hn_sub))
+            # structural assumption of the compact schedule: the lz row set
+            # IS hn_sub (keep_hn rows default to 0, so an lz row missing
+            # from lz_lin — or a non-hn lz row — would silently diverge
+            # from the flat schedule); fail loudly at build time instead
+            assert np.array_equal(
+                np.sort(flat_arrays["lz_lin"]), np.sort(hn_sub)
+            ), "compact chains require lz rows == hn_sub (each once)"
             keep_hn = np.zeros((len(hn_sub), n_loc))
             keep_hn[pos_in_hn[flat_arrays["lz_lin"]]] = np.asarray(
                 flat_arrays["lz_keep"], dtype=np.float64
@@ -1955,20 +1962,22 @@ class BrickLaplaceMM:
             sel_all = jnp.take(rows, a[pre + "src_all"], axis=0)
             outs = []
             for si, off, G, m in meta["segs"]:
-                sel = sel_all[off:off + G * m].reshape(G, m, -1)
+                sel = sel_all[off:off + G * m].reshape(
+                    (G, m) + sel_all.shape[1:]
+                )
                 # per-bucket T stacks are pre-transposed for fill at build
                 out = jnp.einsum(
-                    "gmi,gij->gmj", sel, a[pre + f"T{si}"],
+                    "gm...i,gij->gm...j", sel, a[pre + f"T{si}"],
                     preferred_element_type=rows.dtype,
-                ) * a[pre + f"mask{si}"]
-                outs.append(out.reshape(G * m, -1))
+                ) * self._gmask(a[pre + f"mask{si}"], rows)
+                outs.append(out.reshape((G * m,) + out.shape[2:]))
             rows = rows.at[a[pre + "dst_all"]].add(
                 jnp.concatenate(outs, axis=0)
             )
         for ti in range(meta["n_tails"]):
             sel = jnp.take(rows, a[pre + f"tail{ti}_src"], axis=0)
             out = jnp.einsum(
-                "ki,kij->kj", sel, a[pre + f"tail{ti}_T"],
+                "k...i,kij->k...j", sel, a[pre + f"tail{ti}_T"],
                 preferred_element_type=rows.dtype,
             )
             rows = rows.at[a[pre + f"tail{ti}_dst"]].add(out)
@@ -1985,14 +1994,18 @@ class BrickLaplaceMM:
         src = tb["coarse"] if fill else tb["fine"]
         dst = tb["fine"] if fill else tb["coarse"]
         G, m = src.shape
-        sel = jnp.take(rows, src.reshape(-1), axis=0).reshape(G, m, -1)
+        sel = jnp.take(rows, src.reshape(-1), axis=0).reshape(
+            (G, m) + rows.shape[1:]
+        )
         T = tb["T"]
         out = jnp.einsum(
-            "gmi,gij->gmj", sel,
+            "gm...i,gij->gm...j", sel,
             jnp.swapaxes(T, 1, 2) if fill else T,
             preferred_element_type=rows.dtype,
-        ) * tb["mask"]
-        return rows.at[dst.reshape(-1)].add(out.reshape(G * m, -1))
+        ) * self._gmask(tb["mask"], rows)
+        return rows.at[dst.reshape(-1)].add(
+            out.reshape((G * m,) + out.shape[2:])
+        )
 
     # ------------------------------------------------------------ main path
     def _main_apply(self, bv, a):
@@ -2275,14 +2288,16 @@ class BrickLaplaceMM:
         if self._flat_meta:
             lin = a["flat_lz_lin"]
             cols2 = cols2.at[lin].set(
-                jnp.take(cols2, lin, axis=0) * a["flat_lz_keep"]
+                jnp.take(cols2, lin, axis=0)
+                * self._bmask(a["flat_lz_keep"], cols2)
             )
             cols2 = self._fold_chain_flat(cols2, a, "fill")
         else:
             for lv in sorted(self._levels):
                 lz = a["level_zero"][lv]
                 cols2 = cols2.at[lz["lin"]].set(
-                    jnp.take(cols2, lz["lin"], axis=0) * lz["keep"]
+                    jnp.take(cols2, lz["lin"], axis=0)
+                    * self._bmask(lz["keep"], cols2)
                 )
                 cols2 = self._fold_level(cols2, a["transfers_b"][lv], fill=True)
         return self._hn_apply(
@@ -2295,6 +2310,13 @@ class BrickLaplaceMM:
         trailing batch axes ([m, k, n_loc] in the multi-RHS / vector-valued
         layouts)."""
         return mask[:, None] if rows.ndim == 3 else mask
+
+    @staticmethod
+    def _gmask(mask, rows):
+        """Broadcast a [G, m, n_loc] fold mask over fold outputs whose row
+        operand carries a trailing batch axis (out is [G, m, k, n_loc] when
+        rows is [n_rows, k, n_loc])."""
+        return mask[:, :, None] if rows.ndim == 3 else mask
 
     def _fill_hn_compact(self, cols_u, a):
         """Compact-space fill chain (chain_mode="compact"): the lz masking,
@@ -2763,16 +2785,13 @@ class BrickLaplaceMM:
         v = self._main_apply(bv, a)
         v = v * jnp.tile(a["geo"], k)[:, None]
 
-        input_fill = (
-            self._fill_mode == "input"
-            and self._chain_mode == "compact"
-            and self._flat_meta is not None
-        )
+        input_fill = self._fill_mode == "input"
         if self._n_sub and input_fill and a["hn_sub"].shape[0]:
             # input-side constraint resolution on the k-major layout: all
             # chain work rides [_, k, n_loc] buffers (trailing-axis batch,
-            # see _fill_hn_compact); outputs stay REDUCED exactly like the
-            # single-RHS input-fill vmult.
+            # see _fill_hn_compact / _fold_chain_flat / _fold_level);
+            # outputs stay REDUCED exactly like the single-RHS input-fill
+            # vmult under every chain schedule (compact/flat/sequential).
             nsC = self._n_sub * C
             u_sub = self._take_sub_multi(bv, a, k)
             cols_u = self._extract_cols(u_sub, a)  # [k*nsC, n_loc]
@@ -2781,13 +2800,40 @@ class BrickLaplaceMM:
                 jnp.dot(cols_u, a["K"].T, preferred_element_type=bv.dtype)
                 .reshape(k, nsC, -1), 0, 1,
             ) * a["geo_cell_sub"][:, None, None]
-            plain_hn = jnp.take(plain3, a["hn_sub"], axis=0)
             u_hat = self._fill_rows(u3, a)  # [n_hn, k, n_loc]
             own = jnp.dot(
                 u_hat, a["K"].T, preferred_element_type=bv.dtype
             ) * jnp.take(a["geo_cell_sub"], a["hn_sub"])[:, None, None]
             sub_raw = self._hn_apply(own, a, transpose=True)
-            dcols3 = self._corr_compact(plain3, plain_hn, sub_raw, a)
+            if self._chain_mode == "compact" and self._flat_meta:
+                plain_hn = jnp.take(plain3, a["hn_sub"], axis=0)
+                dcols3 = self._corr_compact(plain3, plain_hn, sub_raw, a)
+            else:
+                # full-size correction schedule (flat / sequential) on the
+                # trailing-batch layout, mirroring the single-RHS branch
+                final3 = plain3
+                if a["absent_sub"].shape[0]:
+                    final3 = final3.at[a["absent_sub"]].set(0.0)
+                final3 = final3.at[a["hn_sub"]].set(sub_raw)
+                if self._flat_meta:
+                    final3 = self._fold_chain_flat(final3, a, "corr")
+                    lin = a["flat_lz_lin"]
+                    final3 = final3.at[lin].set(
+                        jnp.take(final3, lin, axis=0)
+                        * self._bmask(a["flat_lz_keep"], final3)
+                    )
+                else:
+                    for lv in sorted(self._levels, reverse=True):
+                        lz = a["level_zero"][lv]
+                        zeroed = (
+                            jnp.take(final3, lz["lin"], axis=0)
+                            * self._bmask(lz["keep"], final3)
+                        )
+                        final3 = self._fold_level(
+                            final3, a["transfers_b"][lv], fill=False
+                        )
+                        final3 = final3.at[lz["lin"]].set(zeroed)
+                dcols3 = final3 - plain3
             delta = jnp.swapaxes(dcols3, 0, 1).reshape(k * nsC, -1)
             v = self._subset_scatter_add_multi(
                 v, self._scatter_cols(delta, a), a, k

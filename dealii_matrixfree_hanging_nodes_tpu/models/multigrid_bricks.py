@@ -388,6 +388,150 @@ class BrickGMGPreconditioner:
     def __call__(self, b):
         return self._vcycle(len(self.levels) - 1, b)
 
+    # ------------------------------------------------- device-resident solve
+    def _params(self):
+        """The whole preconditioner state as ONE jit-argument pytree (large
+        closed-over constants make tunnel compiles painful — CLAUDE.md)."""
+        P = dict(
+            a=[mm._stage() for mm in self.mms],
+            keep=[op.keep for op in self.ops],
+            bd=[op.bd_mask for op in self.ops],
+            inv=[sm.inv_diag for sm in self.smoothers],
+            tr=[
+                dict(d=t._dev, sc=t._sc, wf=t.mm_f.dot_mask())
+                for t in self.transfers
+            ],
+            dmask=self.mms[-1].dot_mask(),
+        )
+        if self._coarse_direct:
+            P["coarse"] = self._coarse_args
+        return P
+
+    # pure (traceable) building blocks — the un-jitted twins of the host
+    # stepping path above, composed into ONE program by make_device_solver
+    def _op_vmult_p(self, lvl, u, P):
+        mm = self.mms[lvl]
+        a, keep, bd = P["a"][lvl], P["keep"][lvl], P["bd"][lvl]
+        w = mm._refill_impl(u * keep, a)
+        v = (
+            mm._vmult_deformed_impl(w, a)
+            if mm._deformed
+            else mm._vmult_impl(w, a)
+        )
+        return mm._refill_impl(v * keep + u * bd, a)
+
+    def _prec_p(self, lvl, r, P):
+        return self.mms[lvl]._refill_impl(P["inv"][lvl] * r, P["a"][lvl])
+
+    def _project_p(self, lvl, b, P):
+        return self.mms[lvl]._refill_impl(b * P["keep"][lvl], P["a"][lvl])
+
+    def _smooth_p(self, lvl, b, x0, P):
+        sm = self.smoothers[lvl]
+        theta = 0.5 * (sm.lmax + sm.lmin)
+        delta = 0.5 * (sm.lmax - sm.lmin)
+        if x0 is None:
+            x, r = jnp.zeros_like(b), b
+        else:
+            x, r = x0, b - self._op_vmult_p(lvl, x0, P)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        d = self._prec_p(lvl, r, P) / theta
+        for _ in range(sm.degree):
+            x = x + d
+            r = b - self._op_vmult_p(lvl, x, P)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = rho_new * rho * d + 2.0 * rho_new / delta * self._prec_p(
+                lvl, r, P
+            )
+            rho = rho_new
+        return x
+
+    def _vcycle_p(self, lvl, b, P):
+        if lvl == 0:
+            MinvT, sc = P["coarse"]
+            r = self._embed0.extract(b, sc)
+            return self._embed0.embed(
+                jnp.dot(r, MinvT, preferred_element_type=r.dtype), sc
+            )
+        t = self.transfers[lvl - 1]
+        ti = P["tr"][lvl - 1]
+        x = self._smooth_p(lvl, b, None, P)
+        r = self._project_p(lvl, b - self._op_vmult_p(lvl, x, P), P)
+        rc = t._restrict_impl(
+            r, ti["d"], P["a"][lvl - 1], P["a"][lvl], ti["sc"], ti["wf"]
+        )
+        rc = self._project_p(lvl - 1, rc, P)
+        xc = self._vcycle_p(lvl - 1, rc, P)
+        x = x + self._project_p(
+            lvl,
+            t._prolongate_impl(xc, ti["d"], P["a"][lvl - 1], P["a"][lvl]),
+            P,
+        )
+        return self._smooth_p(lvl, b, x, P)
+
+    def make_device_solver(self, tol: float = 1e-5, max_iter: int = 100):
+        """Fully device-resident GMG-preconditioned CG: the Krylov
+        recurrence, every Chebyshev smoother, every transfer, and the dense
+        coarse inverse run inside ONE jitted jax.lax.while_loop with
+        on-device residual control; the host fetches only the final
+        (iterations, residual) scalars. This removes the per-step dispatch +
+        sync chain of the host loop (measured 14.8 s/iteration through the
+        tunnel at nref=6 p=4 — VERDICT r4 item 3; the reference's timing
+        discipline keeps its 100-rep loops free of per-rep host work the
+        same way, benchmark_03.h:471-507).
+
+        Returns solve(b) -> (x, n_iters, res_norm); a debug host-stepping
+        path stays available through models.multigrid.solve_cg."""
+        if not self._coarse_direct:
+            raise NotImplementedError(
+                "device-resident solve requires coarse='direct'"
+            )
+        L = len(self.mms) - 1
+        max_it = jnp.asarray(max_iter, jnp.int32)
+
+        def solve_impl(b, P):
+            dmask = P["dmask"]
+
+            def dot(u, v):
+                return jnp.sum(dmask * u * v)
+
+            b2 = dot(b, b)
+            tol2 = jnp.asarray(tol, b.dtype) ** 2 * b2
+            z0 = self._vcycle_p(L, b, P)
+            state = (
+                jnp.zeros_like(b), b, z0, z0, dot(b, z0),
+                jnp.asarray(0, jnp.int32),
+            )
+
+            def cond(s):
+                _, r, _, _, _, it = s
+                return (dot(r, r) > tol2) & (it < max_it)
+
+            def body(s):
+                x, r, z, p, rz, it = s
+                Ap = self._op_vmult_p(L, p, P)
+                alpha = rz / dot(p, Ap)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = self._vcycle_p(L, r, P)
+                rz_new = dot(r, z)
+                p = z + (rz_new / rz) * p
+                return (x, r, z, p, rz_new, it + 1)
+
+            x, r, _, _, _, it = jax.lax.while_loop(cond, body, state)
+            return x, it, jnp.sqrt(dot(r, r))
+
+        jitted = jax.jit(solve_impl)
+        prec = self.mms[-1]._matmul_precision
+
+        def solve(b):
+            with jax.default_matmul_precision(prec):
+                x, it, res = jitted(b, self._params())
+            return x, int(it), float(res)
+
+        return solve
+
     @property
     def fine_op(self):
         return self.ops[-1]

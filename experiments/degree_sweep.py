@@ -12,7 +12,10 @@ Optionally BRICK_SIZE_P1/P2 override the auto brick size for low degrees.
 
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+try:
+    import dealii_matrixfree_hanging_nodes_tpu  # noqa: F401
+except ModuleNotFoundError:  # checkout use without `pip install -e .`
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from benchmarks.benchmark_03 import run
 from dealii_matrixfree_hanging_nodes_tpu.utils.table import ConvergenceTable

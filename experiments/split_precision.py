@@ -31,7 +31,10 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+try:
+    import dealii_matrixfree_hanging_nodes_tpu  # noqa: F401
+except ModuleNotFoundError:  # checkout use without `pip install -e .`
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from dealii_matrixfree_hanging_nodes_tpu.utils.timing import sync_fetch  # noqa: E402
 

@@ -14,7 +14,10 @@ Env: BENCH_REPS (default 30), BENCH_VARIANTS (comma list).
 import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+try:
+    import dealii_matrixfree_hanging_nodes_tpu  # noqa: F401
+except ModuleNotFoundError:  # checkout use without `pip install -e .`
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from benchmarks.benchmark_01 import run_benchmark
 from dealii_matrixfree_hanging_nodes_tpu.utils.params import (

@@ -32,9 +32,10 @@ def test_brick_vmult_matches_operator(engine, geo, nref, p):
     got = bl.to_dof_vector(out, zero_hanging=True)
     assert np.abs(got - ref).max() < 1e-12 * np.abs(ref).max()
     # output invariant: duplicated/hanging copies are consistent. With the
-    # input-fill default (p>=3) outputs are REDUCED (hanging slots carry no
-    # meaning, like the reference's post-distribute vectors), so compare the
-    # roundtrip against refill(out) — the invariant-restored vector.
+    # input-fill default (all degrees, bricks.py fill_mode="input") outputs
+    # are REDUCED (hanging slots carry no meaning, like the reference's
+    # post-distribute vectors), so compare the roundtrip against
+    # refill(out) — the invariant-restored vector.
     base = out
     if getattr(bl, "_fill_mode", None) == "input":
         base = bl.refill(out)
@@ -89,6 +90,32 @@ def test_vmult_multi_matches_single():
         for k, v in enumerate(vs):
             single = bl.vmult(bl.from_dof_vector(v))
             assert float(jnp.abs(multi[k] - single).max()) < 1e-12, (geo, k)
+
+
+@pytest.mark.parametrize("chain", ["compact", "flat", "seq"])
+def test_vmult_multi_chain_modes(monkeypatch, chain):
+    """Multi-RHS input-fill matches single-RHS under EVERY chain schedule
+    (regression: the flat/sequential schedules used to silently run the
+    output-fill path in vmult_multi while single-RHS vmult accepted
+    reduced inputs — ADVICE r4 medium)."""
+    monkeypatch.setenv("BRICK_CHAIN", chain)
+    t = mfhn.create_quadrant(3, 4)
+    mf = MatrixFree(t, 2, dtype=np.float64)
+    bl = BrickLaplaceMM(mf)
+    assert bl._fill_mode == "input" and bl._chain_mode == chain
+    rng = np.random.default_rng(4)
+    vs = [
+        mf.constraints.distribute(rng.standard_normal(mf.n_dofs))
+        for _ in range(3)
+    ]
+    bvk = jnp.stack([bl.from_dof_vector(v) for v in vs])
+    multi = bl.vmult_multi(bvk)
+    for k, v in enumerate(vs):
+        single = bl.vmult(bl.from_dof_vector(v))
+        assert float(jnp.abs(multi[k] - single).max()) < 1e-12, (chain, k)
+    ref = np.asarray(LaplaceOperator(mf).vmult(jnp.asarray(vs[0])))
+    got = bl.to_dof_vector(multi[0], zero_hanging=True)
+    assert np.abs(got - ref).max() < 1e-12 * np.abs(ref).max()
 
 
 @pytest.mark.parametrize("geo,nref,p", [("quadrant", 3, 2), ("step", 3, 1),
