@@ -24,17 +24,29 @@ def main():
     degree = int(os.environ.get("BENCH_DEGREE", "4"))
     n_reps = int(os.environ.get("BENCH_REPS", "100"))
     engine = os.environ.get("BENCH_ENGINE", "bricks")
+    # BENCH_DTYPE=f64 runs the whole vmult in XLA's emulated double on the
+    # chip (the reference is double throughout, benchmark_01.h:148; the
+    # measured accuracy of this path is 3.9e-15 vs the scipy oracle —
+    # results/split_precision_ladder.txt). ~20x below f32 throughput.
+    dtype_name = os.environ.get("BENCH_DTYPE", "f32")
+    if dtype_name == "f64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+    dtype = np.float64 if dtype_name == "f64" else np.float32
+    default_prec = "highest" if dtype_name == "f64" else "high"
 
     tria = mfhn.create_quadrant(3, nref)
-    mf = MatrixFree(tria, degree=degree, dtype=np.float32)
+    mf = MatrixFree(tria, degree=degree, dtype=dtype)
     rng = np.random.default_rng(0)
-    src_np = rng.standard_normal(mf.n_dofs).astype(np.float32)
+    src_np = rng.standard_normal(mf.n_dofs).astype(dtype)
     if engine == "bricks":
         try:
             from dealii_matrixfree_hanging_nodes_tpu.bricks import BrickLaplaceMM
 
             op = BrickLaplaceMM(
-                mf, matmul_precision=os.environ.get("BENCH_PRECISION", "high")
+                mf, matmul_precision=os.environ.get("BENCH_PRECISION",
+                                                    default_prec)
             )
             src = op.from_dof_vector(src_np)
         except Exception as e:  # safety net: fall back to the index engine
@@ -49,7 +61,7 @@ def main():
     # Honest timing on remote/tunneled backends: block_until_ready can return
     # before execution completes, so (a) chain each rep on the previous result
     # and (b) close with a device-to-host fetch, which is a true sync point.
-    scale = jnp.float32(1e-3)
+    scale = jnp.asarray(1e-3, dtype)
     r = op.vmult(src)
     _ = np.asarray(r[:1])  # compile + sync
     # best-of-N trials SPREAD OVER MINUTES: the tunneled backend's
@@ -85,7 +97,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "laplace_vmult_p4_quadrant_throughput",
+                "metric": "laplace_vmult_p4_quadrant_throughput"
+                + ("_f64" if dtype_name == "f64" else ""),
                 "value": round(gdofs, 4),
                 "unit": "GDoF/s/chip",
                 "vs_baseline": round(gdofs / 1.0, 4),

@@ -386,6 +386,24 @@ class DistributedBrickLaplace:
             transfers=groups_g,
             level_zero=level_zero_g,
         )
+
+        # deformed (MappingQCache analog) metric, slab-sharded: the
+        # per-quad-point packed G_q of each rank's own brick cells
+        # (benchmark_01.h:227-242 under the MPI stack; the single-chip
+        # engine streams the same metric globally)
+        self._deformed = mm._deformed
+        if self._deformed:
+            Gq_g = np.asarray(np_["Gq"])  # [nb*C, n_q, packed]
+            Gq_r = np.zeros((R, nb_max * C) + Gq_g.shape[1:], dtype=dt)
+            for r in range(R):
+                k = len(bricks_r[r])
+                if k:
+                    sel = (
+                        bricks_r[r][:, None] * C + np.arange(C)[None, :]
+                    ).reshape(-1)
+                    Gq_r[r, : k * C] = Gq_g[sel]
+            self._dev["Gq"] = Gq_r
+
         if self.exchange == "halo":
             self._build_halo()
         self._staged = False
@@ -757,7 +775,12 @@ class DistributedBrickLaplace:
             self._rep_s = jax.device_put(
                 jax.tree.map(jnp.asarray, self._rep), rep
             )
-            self._mm_a = jax.device_put(self.mm._stage(), rep)
+            # the global per-quad-point metric is NOT replicated: each rank
+            # reads only its slab slice (self._dev["Gq"])
+            mm_a = {
+                k: v for k, v in self.mm._stage().items() if k != "Gq"
+            }
+            self._mm_a = jax.device_put(mm_a, rep)
             self._staged = True
         return self._dev_s, self._rep_s, self._mm_a
 
@@ -981,16 +1004,38 @@ class DistributedBrickLaplace:
             # bv [1, nb_max, N3p] local slab; squeeze the mesh axis
             bv = bv[0]
             d = jax.tree.map(lambda x: x[0], d)
-            # 1) main path + per-brick scale (local)
-            v = mm._main_apply(bv, a) * d["geo"][:, None]
+            if self._deformed:
+                # 1) deformed main path: per-cell packed-metric kernel over
+                #    ALL local brick cells (no shared-A trick under a
+                #    high-order mapping — benchmark_01.h:227-242); pad and
+                #    absent slots carry G_q = 0 and output zero rows
+                vals_all = mm._deformed_cell_apply(
+                    mm._extract_cols(bv, a), {**a, "Gq": d["Gq"]}
+                )
+                v = mm._scatter_cols(vals_all, a)
+                # 2) subset rows feed the unchanged chain machinery below:
+                #    'plain' = the per-cell outputs at the exceptional
+                #    subset (already correct for absent cells, so the only
+                #    correction left is the HN^T + fold chain delta)
+                Cr = jnp.arange(C, dtype=d["sub_ids"].dtype)
+                sub_rows = (
+                    d["sub_ids"][:, None] * C + Cr[None, :]
+                ).reshape(-1)
+                plain = jnp.take(vals_all, sub_rows, axis=0)
+                final = plain
+            else:
+                # 1) main path + per-brick scale (local)
+                v = mm._main_apply(bv, a) * d["geo"][:, None]
 
-            # 2) corrections on the local exceptional subset
-            u_sub = jnp.take(bv, d["sub_ids"], axis=0)
-            cols_u = mm._extract_cols(u_sub, a)
-            plain = jnp.dot(cols_u, a["K"].T, preferred_element_type=bv.dtype)
-            plain = plain * d["geo_cell_sub"][:, None]
-            # absent (hole) cells contribute nothing: local zeroing
-            final = plain * d["absent_keep"]
+                # 2) corrections on the local exceptional subset
+                u_sub = jnp.take(bv, d["sub_ids"], axis=0)
+                cols_u = mm._extract_cols(u_sub, a)
+                plain = jnp.dot(
+                    cols_u, a["K"].T, preferred_element_type=bv.dtype
+                )
+                plain = plain * d["geo_cell_sub"][:, None]
+                # absent (hole) cells contribute nothing: local zeroing
+                final = plain * d["absent_keep"]
             dcols = final - plain
             if self.has_chain and halo:
                 # neighbor-wise: HN^T on the own block, then a pairwise

@@ -161,6 +161,31 @@ def test_distributed_bricks_match_single_chip(dim, geometry, nref, degree):
         assert err < 1e-12, (R, err)
 
 
+@pytest.mark.parametrize("exchange", ["halo", "replicated"])
+def test_distributed_bricks_deformed_matches_single_chip(exchange):
+    """High-order (MappingQCache analog) mapping on the DISTRIBUTED brick
+    engine: the slab-sharded per-quad-point metric path equals the
+    single-chip deformed engine to machine precision under both exchange
+    modes (the reference runs its high-order mapping under the full MPI
+    stack, benchmark_01.h:227-242 with benchmark_01.h:255)."""
+    tria = mfhn.create_quadrant(3, 3)
+    mf = MatrixFree(tria, degree=2, dtype=np.float64,
+                    high_order_mapping=True)
+    rng = np.random.default_rng(5)
+    u = rng.standard_normal(mf.n_dofs)
+    mm = BrickLaplaceMM(mf)
+    ref = mm.to_dof_vector(mm.vmult(mm.from_dof_vector(u)),
+                           zero_hanging=True)
+    for R in (1, 8):
+        dop = DistributedBrickLaplace(
+            mf, devices=jax.devices()[:R], exchange=exchange
+        )
+        out = dop.to_dof_vector(dop.vmult(dop.from_dof_vector(u)),
+                                zero_hanging=True)
+        err = np.abs(out - ref).max() / np.abs(ref).max()
+        assert err < 1e-12, (exchange, R, err)
+
+
 def test_distributed_bricks_weighted_repartition():
     """Weighted brick repartition changes the partition but not the result
     (benchmark_02.cc:63-87 analog on the brick engine)."""
