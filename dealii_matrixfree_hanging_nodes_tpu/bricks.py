@@ -932,12 +932,6 @@ class BrickLaplaceMM:
             fill_mode = os.environ.get("BRICK_FILL", "input")
         if fill_mode not in ("exchange", "volume", "hybrid", "input"):
             raise ValueError(f"unknown fill_mode {fill_mode!r}")
-        if fill_mode == "input" and mf.high_order_mapping:
-            # the deformed cols kernel computes HN^T K u on the full cell
-            # domain and relies on the input invariant; keep the output
-            # fill there (hybrid read side) until it grows its own
-            # input-side interpolation
-            fill_mode = "hybrid"
         self._fill_mode = fill_mode
         if col2im is None:
             # One-hot E matmul beats the separable col2im at every honestly
@@ -1609,50 +1603,68 @@ class BrickLaplaceMM:
                 dtype=mf.dtype,
             )
 
-        # deformed (MappingQCache analog) main path: per-quad-point packed
-        # metric applied in the cols domain with sum-factorized sweeps — the
-        # shared-A Kronecker trick needs equal Cartesian cells, so the
-        # deformed operator streams G_q per cell instead
-        # (benchmark_01.h:227-242 parity on the brick engine).
+        # deformed (MappingQCache analog) main path: the shared-A Kronecker
+        # trick needs equal Cartesian cells, so the deformed operator
+        # integrates with per-quad-point packed metrics instead
+        # (benchmark_01.h:227-242 parity on the brick engine). The MAIN pass
+        # runs in the brick-tensor domain with block-diagonal 1D quadrature
+        # operators (Sqb collocation values [Q, NB], Dqb collocation
+        # derivatives [Q, Q]; Q = B * n_q1) — whole-brick sweeps like
+        # _main_apply, no im2col/col2im, NB-length MXU contractions — and
+        # the metric lives in the matching brick-quad lattice (Gqb). The
+        # per-cell cols kernel (_deformed_cell_apply) survives for the
+        # exceptional-subset corrections, fed by per-cell metric rows
+        # restricted to the subset cells (Gq_sub) and the hn cells (Gq_hn).
         self._deformed = bool(mf.high_order_mapping)
         if self._deformed:
-            geo_full = mf._np["geo"]  # [n_cells, n_q, packed]
-            Gq = np.zeros((bs.n_bricks * C,) + geo_full.shape[1:])
-            Gq[bs.cell_lin] = geo_full  # absent slots keep 0 => no output
-            groups_f = {lv: [] for lv in levels}
-            for g2 in bs.transfer_groups:
-                T = np.zeros((n_loc, n_loc))
-                T[g2.src_slots, g2.dst_slots] = 1.0
-                groups_f[g2.level].append(
-                    dict(
-                        fine=g2.fine_cells.astype(np.int32),
-                        coarse=g2.coarse_cells.astype(np.int32),
-                        T=np.asarray(T, dtype=mf.dtype),
-                    )
+            geo_full = mf._np["geo"]  # [n_cells, n_q, n_pairs]
+            n_q, n_pairs = geo_full.shape[1], geo_full.shape[2]
+            Gfull = np.zeros(
+                (bs.n_bricks * C, n_q, n_pairs), dtype=mf.dtype
+            )
+            Gfull[bs.cell_lin] = geo_full  # absent slots keep 0 => no output
+            # brick-quad lattice layout: axis index along dim d is
+            # c_d * n_q1 + q_d (cells x-fastest, quad x-fastest within)
+            nq1 = mf._np["S"].shape[0]
+            Q = B * nq1
+            nb = bs.n_bricks
+            if dim == 3:
+                Gqb = np.ascontiguousarray(
+                    Gfull.reshape(nb, B, B, B, nq1, nq1, nq1, n_pairs)
+                    .transpose(0, 7, 1, 4, 2, 5, 3, 6)
+                    .reshape(nb, n_pairs, Q, Q, Q)
                 )
-            level_zero_f = {}
-            for lv in levels:
-                sel = xfer_levels == lv
-                level_zero_f[lv] = dict(
-                    lin=bs.hn_lin[sel].astype(np.int32),
-                    keep=np.asarray(
-                        1.0 - bs.hn_closure[sel].astype(np.float64),
-                        dtype=mf.dtype,
-                    ),
+            else:
+                Gqb = np.ascontiguousarray(
+                    Gfull.reshape(nb, B, B, nq1, nq1, n_pairs)
+                    .transpose(0, 5, 1, 3, 2, 4)
+                    .reshape(nb, n_pairs, Q, Q)
                 )
+            # block-diagonal 1D quadrature operators on the brick axis
+            S1 = mf._np["S"]  # [nq1, n]
+            Dc1 = mf._np["Dc"]  # [nq1, nq1]
+            Sqb = np.zeros((Q, NB))
+            Dqb = np.zeros((Q, Q))
+            for c in range(B):
+                Sqb[c * nq1: (c + 1) * nq1, c * p: c * p + n] = S1
+                Dqb[c * nq1: (c + 1) * nq1, c * nq1: (c + 1) * nq1] = Dc1
+            sub_cell_rows = (
+                sub_ids[:, None] * C + np.arange(C)[None, :]
+            ).reshape(-1)
+            # per-cell metric source kept on host for the distributed engine
+            self._np_geo_cell = Gfull
             self.arrays.update(
-                Gq=np.asarray(Gq, dtype=mf.dtype),
+                Gqb=Gqb,
+                Gq_sub=Gfull[sub_cell_rows],
+                Gq_hn=Gfull[bs.hn_lin],
+                Sqb=np.asarray(Sqb, dtype=mf.dtype),
+                Dqb=np.asarray(Dqb, dtype=mf.dtype),
                 S=mf._np["S"].astype(mf.dtype),
                 Dc=mf._np["Dc"].astype(mf.dtype),
-                hn_lin_f=bs.hn_lin.astype(np.int32),
-                transfers_f=groups_f,
-                level_zero_f=level_zero_f,
             )
         self._np_arrays = self.arrays
         self.arrays = None  # staged lazily on first vmult
-        self._jit_vmult = jax.jit(
-            self._vmult_deformed_impl if self._deformed else self._vmult_impl
-        )
+        self._jit_vmult = jax.jit(self._vmult_impl)
 
 
     @property
@@ -1693,11 +1705,7 @@ class BrickLaplaceMM:
                 Layout(tuple(range(bv.ndim))), SingleDeviceSharding(dev)
             )
             auto = jax.tree.map(lambda _: Format(Layout.AUTO), a)
-            impl = (
-                self._vmult_deformed_impl
-                if self._deformed
-                else self._vmult_impl
-            )
+            impl = self._vmult_impl
             with jax.default_matmul_precision(self._matmul_precision):
                 compiled = (
                     jax.jit(impl, in_shardings=(fmt_bv, auto))
@@ -2042,9 +2050,13 @@ class BrickLaplaceMM:
         bs = self.bs
         dim = bs.dim
         C = bs.B**dim
-        # 1) main path: assembled brick operator (Kronecker-separable form)
-        v = self._main_apply(bv, a)
-        v = v * a["geo"][:, None]
+        # 1) main path: assembled brick operator (Kronecker-separable form),
+        #    or whole-brick quadrature sweeps under a high-order mapping
+        if self._deformed:
+            v = self._deformed_brick_apply(bv, a)
+        else:
+            v = self._main_apply(bv, a)
+            v = v * a["geo"][:, None]
 
         # 2) corrections on the exceptional-brick subset: absent (hole) cells
         #    contribute nothing; constrained cells contribute HN^T values with
@@ -2052,9 +2064,16 @@ class BrickLaplaceMM:
         if self._n_sub:
             u_sub = self._take_sub(bv, a)
             cols_u = self._extract_cols(u_sub, a)  # [n_sub*C, n_loc]
-            plain = jnp.dot(cols_u, a["K"].T, preferred_element_type=bv.dtype)
-            # per-cell scale BEFORE folds (levels differ)
-            plain = plain * a["geo_cell_sub"][:, None]
+            if self._deformed:
+                # per-cell metric kernel (absent rows output exact zeros,
+                # so the absent handling below is a numerical no-op)
+                plain = self._deformed_cell_apply(cols_u, a, a["Gq_sub"])
+            else:
+                plain = jnp.dot(
+                    cols_u, a["K"].T, preferred_element_type=bv.dtype
+                )
+                # per-cell scale BEFORE folds (levels differ)
+                plain = plain * a["geo_cell_sub"][:, None]
             n_hn = int(a["hn_sub"].shape[0])
             if self._chain_mode == "compact" and self._flat_meta and n_hn:
                 # compact-space correction: no full-size final/lz/delta
@@ -2067,9 +2086,12 @@ class BrickLaplaceMM:
                     # IN THE COLS DOMAIN, so vmult accepts unfilled inputs
                     # and the output fill pass disappears entirely.
                     u_hat = self._fill_rows(cols_u, a)
-                    own = jnp.dot(
-                        u_hat, a["K"].T, preferred_element_type=bv.dtype
-                    ) * jnp.take(a["geo_cell_sub"], a["hn_sub"])[:, None]
+                    if self._deformed:
+                        own = self._deformed_cell_apply(u_hat, a, a["Gq_hn"])
+                    else:
+                        own = jnp.dot(
+                            u_hat, a["K"].T, preferred_element_type=bv.dtype
+                        ) * jnp.take(a["geo_cell_sub"], a["hn_sub"])[:, None]
                 else:
                     own = plain_hn
                 sub_raw = self._hn_apply(own, a, transpose=True)
@@ -2091,9 +2113,17 @@ class BrickLaplaceMM:
                     if self._fill_mode == "input":
                         # input-side fill, full-size schedule (see above)
                         u_hat = self._fill_rows(cols_u, a)
-                        own = jnp.dot(
-                            u_hat, a["K"].T, preferred_element_type=bv.dtype
-                        ) * jnp.take(a["geo_cell_sub"], a["hn_sub"])[:, None]
+                        if self._deformed:
+                            own = self._deformed_cell_apply(
+                                u_hat, a, a["Gq_hn"]
+                            )
+                        else:
+                            own = jnp.dot(
+                                u_hat, a["K"].T,
+                                preferred_element_type=bv.dtype,
+                            ) * jnp.take(
+                                a["geo_cell_sub"], a["hn_sub"]
+                            )[:, None]
                     else:
                         own = jnp.take(final, a["hn_sub"], axis=0)
                     sub_raw = self._hn_apply(own, a, transpose=True)
@@ -2490,6 +2520,17 @@ class BrickLaplaceMM:
         correction + cross-brick DSS, but no HN interpolation, folds, or fill
         — the brick analog of the reference's unconstrained read/write
         variant (benchmark_03.h:510-532), used for the eta overhead pair."""
+        if self._deformed:
+            # absent slots carry G_q = 0, so no hole correction is needed
+            v = self._deformed_brick_apply(bv, a)
+            surf = jnp.dot(v, a["Es"].T, preferred_element_type=bv.dtype)
+            surf_new = self._dss_surface(surf, a)
+            return jnp.where(
+                a["node_valid"],
+                v + jnp.dot(surf_new - surf, a["Es"],
+                            preferred_element_type=bv.dtype),
+                0.0,
+            )
         v = self._main_apply(bv, a)
         v = v * a["geo"][:, None]
         if self._n_sub and a["absent_sub"].shape[0]:
@@ -2510,11 +2551,13 @@ class BrickLaplaceMM:
         )
 
     # ----------------------------------------------- deformed-mapping path
-    def _deformed_cell_apply(self, cols_u, a):
+    def _deformed_cell_apply(self, cols_u, a, Gq):
         """Per-cell deformed Laplace kernel in the cols domain: sum-factorized
         gradients at quadrature points, packed-metric contraction, adjoint
         integration (the MappingQCache analog, benchmark_01.h:227-242).
-        Absent slots carry G_q = 0 and so output zero rows."""
+        Gq [m, n_q, n_pairs] are the metric rows matching cols_u's rows;
+        absent slots carry G_q = 0 and so output zero rows. Used on the
+        exceptional SUBSET only — the main pass is _deformed_brick_apply."""
         from .ops.sum_factorization import evaluate_gradients, integrate_gradients
 
         dim = self.bs.dim
@@ -2522,57 +2565,72 @@ class BrickLaplaceMM:
         pairs = [(x, y) for x in range(dim) for y in range(x, dim)]
         out = [jnp.zeros_like(g[:, 0]) for _ in range(dim)]
         for k, (x, y) in enumerate(pairs):
-            out[x] = out[x] + a["Gq"][:, :, k] * g[:, y]
+            out[x] = out[x] + Gq[:, :, k] * g[:, y]
             if x != y:
-                out[y] = out[y] + a["Gq"][:, :, k] * g[:, x]
+                out[y] = out[y] + Gq[:, :, k] * g[:, x]
         return integrate_gradients(jnp.stack(out, axis=1), a["S"], a["Dc"], dim)
 
-    def _vmult_deformed_impl(self, bv, a):
-        # per-cell metric kernel over ALL brick cells (no shared-A main path)
-        vals = self._deformed_cell_apply(self._extract_cols(bv, a), a)
-        if a["hn_lin_f"].shape[0]:
-            own = jnp.take(vals, a["hn_lin_f"], axis=0)
-            vals = vals.at[a["hn_lin_f"]].set(
-                self._hn_apply(own, a, transpose=True)
+    def _deformed_brick_apply(self, bv, a):
+        """Deformed main path in the brick-tensor domain: block-diagonal 1D
+        quadrature operators sweep whole bricks exactly like _main_apply
+        (Sqb [Q, NB] collocation values, Dqb [Q, Q] collocation derivatives,
+        Q = B*n_q1), the packed metric contracts elementwise on the
+        brick-quad lattice, and the adjoint sweeps integrate back — no
+        im2col/col2im, NB-length contractions on MXU-friendly minors.
+        Per-cell equal to _deformed_cell_apply over every present cell
+        (absent slots carry G_q = 0); cross-cell node sharing makes the
+        S^T sweeps assemble neighbor contributions, which the Cartesian
+        main path gets from the assembled brick operator."""
+        bs = self.bs
+        NB, dim = bs.NB, bs.dim
+        nb = bv.shape[0]
+        dt = bv.dtype
+        Sq, Dq, G = a["Sqb"], a["Dqb"], a["Gqb"]
+        u = bv[:, : self.N3]
+        if dim == 3:
+            t = u.reshape(nb, NB, NB, NB)
+            t = jnp.einsum("Zz,bzyx->bZyx", Sq, t, preferred_element_type=dt)
+            t = jnp.einsum("Yy,bzyx->bzYx", Sq, t, preferred_element_type=dt)
+            t = jnp.einsum("Xx,bzyx->bzyX", Sq, t, preferred_element_type=dt)
+            gx = jnp.einsum("XW,bzyW->bzyX", Dq, t, preferred_element_type=dt)
+            gy = jnp.einsum("YW,bzWx->bzYx", Dq, t, preferred_element_type=dt)
+            gz = jnp.einsum("ZW,bWyx->bZyx", Dq, t, preferred_element_type=dt)
+            # packed upper triangle, component t=0 is the x (fastest) axis
+            ox = G[:, 0] * gx + G[:, 1] * gy + G[:, 2] * gz
+            oy = G[:, 1] * gx + G[:, 3] * gy + G[:, 4] * gz
+            oz = G[:, 2] * gx + G[:, 4] * gy + G[:, 5] * gz
+            acc = (
+                jnp.einsum("WX,bzyW->bzyX", Dq, ox, preferred_element_type=dt)
+                + jnp.einsum("WY,bzWx->bzYx", Dq, oy, preferred_element_type=dt)
+                + jnp.einsum("WZ,bWyx->bZyx", Dq, oz, preferred_element_type=dt)
             )
-            for lv in sorted(self._levels, reverse=True):
-                rows_all, coarse_all = [], []
-                for g in a["transfers_f"][lv]:
-                    rows_all.append(
-                        jnp.dot(jnp.take(vals, g["fine"], axis=0), g["T"],
-                                preferred_element_type=bv.dtype)
-                    )
-                    coarse_all.append(g["coarse"])
-                lz = a["level_zero_f"][lv]
-                zeroed = jnp.take(vals, lz["lin"], axis=0) * lz["keep"]
-                vals = vals.at[jnp.concatenate(coarse_all)].add(
-                    jnp.concatenate(rows_all, axis=0)
-                )
-                vals = vals.at[lz["lin"]].set(zeroed)
-        v = self._scatter_cols(vals, a)
-        return self._dss_fill(v, a)
-
-    def _vmult_plain_deformed_impl(self, bv, a):
-        v = self._scatter_cols(
-            self._deformed_cell_apply(self._extract_cols(bv, a), a), a
-        )
-        surf = jnp.dot(v, a["Es"].T, preferred_element_type=bv.dtype)
-        surf_new = self._dss_surface(surf, a)
-        return jnp.where(
-            a["node_valid"],
-            v + jnp.dot(surf_new - surf, a["Es"], preferred_element_type=bv.dtype),
-            0.0,
-        )
+            acc = jnp.einsum("Zz,bZyx->bzyx", Sq, acc, preferred_element_type=dt)
+            acc = jnp.einsum("Yy,bzYx->bzyx", Sq, acc, preferred_element_type=dt)
+            acc = jnp.einsum("Xx,bzyX->bzyx", Sq, acc, preferred_element_type=dt)
+        else:
+            t = u.reshape(nb, NB, NB)
+            t = jnp.einsum("Yy,byx->bYx", Sq, t, preferred_element_type=dt)
+            t = jnp.einsum("Xx,byx->byX", Sq, t, preferred_element_type=dt)
+            gx = jnp.einsum("XW,byW->byX", Dq, t, preferred_element_type=dt)
+            gy = jnp.einsum("YW,bWx->bYx", Dq, t, preferred_element_type=dt)
+            ox = G[:, 0] * gx + G[:, 1] * gy
+            oy = G[:, 1] * gx + G[:, 2] * gy
+            acc = (
+                jnp.einsum("WX,byW->byX", Dq, ox, preferred_element_type=dt)
+                + jnp.einsum("WY,bWx->bYx", Dq, oy, preferred_element_type=dt)
+            )
+            acc = jnp.einsum("Yy,bYx->byx", Sq, acc, preferred_element_type=dt)
+            acc = jnp.einsum("Xx,byX->byx", Sq, acc, preferred_element_type=dt)
+        v = acc.reshape(nb, self.N3)
+        if self.N3p > self.N3:
+            v = jnp.pad(v, ((0, 0), (0, self.N3p - self.N3)))
+        return v
 
     def vmult_plain(self, bv):
         self._ensure_opt_layouts(bv)
         prec = self._matmul_precision
         if not hasattr(self, "_jit_vmult_plain"):
-            self._jit_vmult_plain = jax.jit(
-                self._vmult_plain_deformed_impl
-                if self._deformed
-                else self._vmult_plain_impl
-            )
+            self._jit_vmult_plain = jax.jit(self._vmult_plain_impl)
         with jax.default_matmul_precision(prec):
             return self._jit_vmult_plain(bv, self._stage())
 
@@ -2912,6 +2970,11 @@ class BrickLaplaceMM:
         import jax as _jax
         from functools import partial
 
+        if self._deformed:
+            raise NotImplementedError(
+                "vmult_multi does not support high_order_mapping; apply "
+                "vmult per RHS (the deformed kernels are not k-batched)"
+            )
         k = int(bvk.shape[0])
         cache = self.__dict__.setdefault("_jit_vmult_multi_k", {})
         if k not in cache:

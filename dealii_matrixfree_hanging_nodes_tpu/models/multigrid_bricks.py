@@ -413,11 +413,7 @@ class BrickGMGPreconditioner:
         mm = self.mms[lvl]
         a, keep, bd = P["a"][lvl], P["keep"][lvl], P["bd"][lvl]
         w = mm._refill_impl(u * keep, a)
-        v = (
-            mm._vmult_deformed_impl(w, a)
-            if mm._deformed
-            else mm._vmult_impl(w, a)
-        )
+        v = mm._vmult_impl(w, a)
         return mm._refill_impl(v * keep + u * bd, a)
 
     def _prec_p(self, lvl, r, P):

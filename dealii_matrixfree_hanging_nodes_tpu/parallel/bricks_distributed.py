@@ -393,7 +393,7 @@ class DistributedBrickLaplace:
         # engine streams the same metric globally)
         self._deformed = mm._deformed
         if self._deformed:
-            Gq_g = np.asarray(np_["Gq"])  # [nb*C, n_q, packed]
+            Gq_g = np.asarray(mm._np_geo_cell)  # [nb*C, n_q, packed]
             Gq_r = np.zeros((R, nb_max * C) + Gq_g.shape[1:], dtype=dt)
             for r in range(R):
                 k = len(bricks_r[r])
@@ -776,9 +776,11 @@ class DistributedBrickLaplace:
                 jax.tree.map(jnp.asarray, self._rep), rep
             )
             # the global per-quad-point metric is NOT replicated: each rank
-            # reads only its slab slice (self._dev["Gq"])
+            # reads only its slab slice (self._dev["Gq"]); the single-chip
+            # engine's global brick-/subset-layout metrics stay off-device
             mm_a = {
-                k: v for k, v in self.mm._stage().items() if k != "Gq"
+                k: v for k, v in self.mm._stage().items()
+                if k not in ("Gqb", "Gq_sub", "Gq_hn")
             }
             self._mm_a = jax.device_put(mm_a, rep)
             self._staged = True
@@ -1010,7 +1012,7 @@ class DistributedBrickLaplace:
                 #    high-order mapping — benchmark_01.h:227-242); pad and
                 #    absent slots carry G_q = 0 and output zero rows
                 vals_all = mm._deformed_cell_apply(
-                    mm._extract_cols(bv, a), {**a, "Gq": d["Gq"]}
+                    mm._extract_cols(bv, a), a, d["Gq"]
                 )
                 v = mm._scatter_cols(vals_all, a)
                 # 2) subset rows feed the unchanged chain machinery below:
