@@ -1603,6 +1603,46 @@ class BrickLaplaceMM:
                 dtype=mf.dtype,
             )
 
+        # block-diagonal 1D quadrature operators on the brick axis
+        # (Sqb [Q, NB] collocation values, Dqb [Q, Q] collocation
+        # derivatives, Q = B*n_q1) — shared by the deformed main path and
+        # the Cartesian masked-quadrature subset apply (_masked_quad_apply)
+        nq1 = mf._np["S"].shape[0]
+        Qn = B * nq1
+        S1 = mf._np["S"]
+        Dc1 = mf._np["Dc"]
+        Sqb = np.zeros((Qn, NB))
+        Dqb = np.zeros((Qn, Qn))
+        for c in range(B):
+            Sqb[c * nq1: (c + 1) * nq1, c * p: c * p + n] = S1
+            Dqb[c * nq1: (c + 1) * nq1, c * nq1: (c + 1) * nq1] = Dc1
+        self.arrays.update(
+            Sqb=np.asarray(Sqb, dtype=mf.dtype),
+            Dqb=np.asarray(Dqb, dtype=mf.dtype),
+            w1=np.asarray(si.quad_w, dtype=mf.dtype),
+        )
+        if not mf.high_order_mapping and self._n_sub:
+            # per-cell selectors for the assembled (quadrature-domain)
+            # subset removals, geo-premultiplied: absent (hole) cells, and
+            # absent+constrained cells (input-fill mode removes the
+            # constrained cells' unconstrained contributions in assembled
+            # form instead of gathering/subtracting per-cell `plain` rows)
+            geo_col = geo_brick[sub_ids][:, None]
+            pres2 = np.asarray(present_sub, dtype=bool).reshape(
+                self._n_sub, C
+            )
+            hn_flag = np.zeros(self._n_sub * C, dtype=bool)
+            hn_flag[hn_sub] = True
+            hn2 = hn_flag.reshape(self._n_sub, C)
+            self.arrays.update(
+                qmask_absent=np.asarray(
+                    (~pres2) * geo_col, dtype=mf.dtype
+                ),
+                qmask_rem=np.asarray(
+                    (~pres2 | hn2) * geo_col, dtype=mf.dtype
+                ),
+            )
+
         # deformed (MappingQCache analog) main path: the shared-A Kronecker
         # trick needs equal Cartesian cells, so the deformed operator
         # integrates with per-quad-point packed metrics instead
@@ -1625,8 +1665,7 @@ class BrickLaplaceMM:
             Gfull[bs.cell_lin] = geo_full  # absent slots keep 0 => no output
             # brick-quad lattice layout: axis index along dim d is
             # c_d * n_q1 + q_d (cells x-fastest, quad x-fastest within)
-            nq1 = mf._np["S"].shape[0]
-            Q = B * nq1
+            Q = Qn
             nb = bs.n_bricks
             if dim == 3:
                 Gqb = np.ascontiguousarray(
@@ -1640,14 +1679,6 @@ class BrickLaplaceMM:
                     .transpose(0, 5, 1, 3, 2, 4)
                     .reshape(nb, n_pairs, Q, Q)
                 )
-            # block-diagonal 1D quadrature operators on the brick axis
-            S1 = mf._np["S"]  # [nq1, n]
-            Dc1 = mf._np["Dc"]  # [nq1, nq1]
-            Sqb = np.zeros((Q, NB))
-            Dqb = np.zeros((Q, Q))
-            for c in range(B):
-                Sqb[c * nq1: (c + 1) * nq1, c * p: c * p + n] = S1
-                Dqb[c * nq1: (c + 1) * nq1, c * nq1: (c + 1) * nq1] = Dc1
             sub_cell_rows = (
                 sub_ids[:, None] * C + np.arange(C)[None, :]
             ).reshape(-1)
@@ -1657,8 +1688,6 @@ class BrickLaplaceMM:
                 Gqb=Gqb,
                 Gq_sub=Gfull[sub_cell_rows],
                 Gq_hn=Gfull[bs.hn_lin],
-                Sqb=np.asarray(Sqb, dtype=mf.dtype),
-                Dqb=np.asarray(Dqb, dtype=mf.dtype),
                 S=mf._np["S"].astype(mf.dtype),
                 Dc=mf._np["Dc"].astype(mf.dtype),
             )
@@ -2061,6 +2090,60 @@ class BrickLaplaceMM:
         # 2) corrections on the exceptional-brick subset: absent (hole) cells
         #    contribute nothing; constrained cells contribute HN^T values with
         #    their closure slots folded (chained) into coarse neighbors.
+        if self._n_sub and not self._deformed and self._fill_mode == "input":
+            # assembled removal (Cartesian input-fill, the default): the
+            # unconstrained contributions of absent AND constrained cells
+            # are subtracted by ONE masked quadrature apply on the subset
+            # bricks, so the full-size cols `plain` array, its per-cell
+            # scale, and every absent/hn row gather/subtract disappear.
+            # The chain works on a SPARSE cols buffer holding only the
+            # HN^T rows and their fold deltas.
+            u_sub = self._take_sub(bv, a)
+            n_hn = int(a["hn_sub"].shape[0])
+            if n_hn:
+                cols_u = self._extract_cols(u_sub, a)  # [n_sub*C, n_loc]
+                # input-side fill (the read_dof_values analog,
+                # benchmark_03.h:296-317): interpolate the constrained
+                # cells' hanging slots from their masters in the cols
+                # domain; vmult accepts reduced inputs, outputs stay
+                # reduced.
+                u_hat = self._fill_rows(cols_u, a)
+                own = jnp.dot(
+                    u_hat, a["K"].T, preferred_element_type=bv.dtype
+                ) * jnp.take(a["geo_cell_sub"], a["hn_sub"])[:, None]
+                sub_raw = self._hn_apply(own, a, transpose=True)
+                if self._chain_mode == "compact" and self._flat_meta:
+                    dcols = self._corr_compact(None, None, sub_raw, a)
+                else:
+                    dcols = jnp.zeros(
+                        (self._n_sub * C,) + sub_raw.shape[1:], bv.dtype
+                    ).at[a["hn_sub"]].set(sub_raw)
+                    if self._flat_meta:
+                        dcols = self._fold_chain_flat(dcols, a, "corr")
+                        lin = a["flat_lz_lin"]
+                        dcols = dcols.at[lin].set(
+                            jnp.take(dcols, lin, axis=0) * a["flat_lz_keep"]
+                        )
+                    else:
+                        for lv in sorted(self._levels, reverse=True):
+                            lz = a["level_zero"][lv]
+                            zeroed = (
+                                jnp.take(dcols, lz["lin"], axis=0)
+                                * lz["keep"]
+                            )
+                            dcols = self._fold_level(
+                                dcols, a["transfers_b"][lv], fill=False
+                            )
+                            dcols = dcols.at[lz["lin"]].set(zeroed)
+                corr = self._scatter_cols(dcols, a) - self._masked_quad_apply(
+                    u_sub, a, a["qmask_rem"]
+                )
+            elif a["absent_sub"].shape[0]:
+                corr = -self._masked_quad_apply(u_sub, a, a["qmask_absent"])
+            else:
+                corr = None
+            return self._dss_fill(v, a, corr)
+
         if self._n_sub:
             u_sub = self._take_sub(bv, a)
             cols_u = self._extract_cols(u_sub, a)  # [n_sub*C, n_loc]
@@ -2403,7 +2486,11 @@ class BrickLaplaceMM:
         contributions accumulate in a [n_hn, n_loc] buffer (tails read
         sub_raw + acc, the exact pre-lz sequential state); non-hn
         contributions scatter-add straight into the sparse delta. The lz
-        zeroing collapses to one keep multiply on the hn rows."""
+        zeroing collapses to one keep multiply on the hn rows.
+
+        plain/plain_hn may be None (assembled-removal mode): the -plain
+        subtraction and the absent rows are then handled OUTSIDE by
+        _masked_quad_apply, and dcols carries the raw folded HN^T rows."""
         meta = self._flat_meta["corr"]
         acc = None
         nh_parts = []
@@ -2448,13 +2535,19 @@ class BrickLaplaceMM:
                     jnp.take(out_t, a[f"flat_cp_corr_tail{ti}_nh_pos"], axis=0),
                 ))
         final_hn = sub_raw if acc is None else sub_raw + acc
-        final_hn = final_hn * self._bmask(
-            a["flat_cp_keep_hn"], final_hn
-        ) - plain_hn
-        dcols = jnp.zeros_like(plain)
-        if a["absent_sub"].shape[0]:
-            dcols = dcols.at[a["absent_sub"]].set(
-                -jnp.take(plain, a["absent_sub"], axis=0)
+        final_hn = final_hn * self._bmask(a["flat_cp_keep_hn"], final_hn)
+        if plain_hn is not None:
+            final_hn = final_hn - plain_hn
+        if plain is not None:
+            dcols = jnp.zeros_like(plain)
+            if a["absent_sub"].shape[0]:
+                dcols = dcols.at[a["absent_sub"]].set(
+                    -jnp.take(plain, a["absent_sub"], axis=0)
+                )
+        else:
+            C = self.bs.B ** self.bs.dim
+            dcols = jnp.zeros(
+                (self._n_sub * C,) + sub_raw.shape[1:], sub_raw.dtype
             )
         dcols = dcols.at[a["hn_sub"]].set(final_hn)
         for idx, rows in nh_parts:
@@ -2534,14 +2627,13 @@ class BrickLaplaceMM:
         v = self._main_apply(bv, a)
         v = v * a["geo"][:, None]
         if self._n_sub and a["absent_sub"].shape[0]:
+            # assembled hole removal: one masked quadrature apply on the
+            # subset bricks instead of the cols-domain extract/K/gather/
+            # col2im chain (whose per-row ops dominated at low degree)
             u_sub = self._take_sub(bv, a)
-            cols_u = self._extract_cols(u_sub, a)
-            plain = jnp.dot(cols_u, a["K"].T, preferred_element_type=bv.dtype)
-            plain = plain * a["geo_cell_sub"][:, None]
-            dcols = jnp.zeros_like(plain).at[a["absent_sub"]].set(
-                -jnp.take(plain, a["absent_sub"], axis=0)
+            v = self._subset_scatter_add(
+                v, -self._masked_quad_apply(u_sub, a, a["qmask_absent"]), a
             )
-            v = self._subset_scatter_add(v, self._scatter_cols(dcols, a), a)
         surf = jnp.dot(v, a["Es"].T, preferred_element_type=bv.dtype)
         surf_new = self._dss_surface(surf, a)
         return jnp.where(
@@ -2622,6 +2714,83 @@ class BrickLaplaceMM:
             acc = jnp.einsum("Yy,bYx->byx", Sq, acc, preferred_element_type=dt)
             acc = jnp.einsum("Xx,byX->byx", Sq, acc, preferred_element_type=dt)
         v = acc.reshape(nb, self.N3)
+        if self.N3p > self.N3:
+            v = jnp.pad(v, ((0, 0), (0, self.N3p - self.N3)))
+        return v
+
+    def _masked_quad_apply(self, u_rows, a, mask):
+        """Assembled Laplace apply restricted to a cell subset, in the
+        brick-tensor domain: v = sum_{c: mask} geo_c * E_c^T K_cell E_c u,
+        computed as block-diagonal quadrature sweeps (Sqb/Dqb, like the
+        deformed main path) with the Cartesian metric geo_b * w3[q]
+        expressed as BROADCAST factors — no per-cell metric array, no cols
+        domain, no per-row gathers. mask [m, B^dim] carries the per-brick
+        geo factor on its selected cells (staged premultiplied:
+        qmask_absent / qmask_rem). Replaces the cols-domain `plain`
+        gather/subtract machinery for hole cells and (input-fill mode) the
+        constrained cells' unconstrained contributions — the measured bulk
+        of the low-degree HN overhead, where C = B^dim is large and n_loc
+        tiny so every per-row op ran at a few % lane efficiency."""
+        bs = self.bs
+        NB, dim, B = bs.NB, bs.dim, bs.B
+        m = u_rows.shape[0]
+        dt = u_rows.dtype
+        Sq, Dq, w1 = a["Sqb"], a["Dqb"], a["w1"]
+        nq = w1.shape[0]
+        u = u_rows[:, : self.N3]
+        if dim == 3:
+            t = u.reshape(m, NB, NB, NB)
+            t = jnp.einsum("Zz,bzyx->bZyx", Sq, t, preferred_element_type=dt)
+            t = jnp.einsum("Yy,bzyx->bzYx", Sq, t, preferred_element_type=dt)
+            t = jnp.einsum("Xx,bzyx->bzyX", Sq, t, preferred_element_type=dt)
+            f = (
+                mask.reshape(m, B, 1, B, 1, B, 1)
+                * w1.reshape(1, 1, nq, 1, 1, 1, 1)
+                * w1.reshape(1, 1, 1, 1, nq, 1, 1)
+                * w1.reshape(1, 1, 1, 1, 1, 1, nq)
+            ).reshape(m, B * nq, B * nq, B * nq)
+            gx = f * jnp.einsum("XW,bzyW->bzyX", Dq, t,
+                                preferred_element_type=dt)
+            gy = f * jnp.einsum("YW,bzWx->bzYx", Dq, t,
+                                preferred_element_type=dt)
+            gz = f * jnp.einsum("ZW,bWyx->bZyx", Dq, t,
+                                preferred_element_type=dt)
+            acc = (
+                jnp.einsum("WX,bzyW->bzyX", Dq, gx, preferred_element_type=dt)
+                + jnp.einsum("WY,bzWx->bzYx", Dq, gy,
+                             preferred_element_type=dt)
+                + jnp.einsum("WZ,bWyx->bZyx", Dq, gz,
+                             preferred_element_type=dt)
+            )
+            acc = jnp.einsum("Zz,bZyx->bzyx", Sq, acc,
+                             preferred_element_type=dt)
+            acc = jnp.einsum("Yy,bzYx->bzyx", Sq, acc,
+                             preferred_element_type=dt)
+            acc = jnp.einsum("Xx,bzyX->bzyx", Sq, acc,
+                             preferred_element_type=dt)
+        else:
+            t = u.reshape(m, NB, NB)
+            t = jnp.einsum("Yy,byx->bYx", Sq, t, preferred_element_type=dt)
+            t = jnp.einsum("Xx,byx->byX", Sq, t, preferred_element_type=dt)
+            f = (
+                mask.reshape(m, B, 1, B, 1)
+                * w1.reshape(1, 1, nq, 1, 1)
+                * w1.reshape(1, 1, 1, 1, nq)
+            ).reshape(m, B * nq, B * nq)
+            gx = f * jnp.einsum("XW,byW->byX", Dq, t,
+                                preferred_element_type=dt)
+            gy = f * jnp.einsum("YW,bWx->bYx", Dq, t,
+                                preferred_element_type=dt)
+            acc = (
+                jnp.einsum("WX,byW->byX", Dq, gx, preferred_element_type=dt)
+                + jnp.einsum("WY,bWx->bYx", Dq, gy,
+                             preferred_element_type=dt)
+            )
+            acc = jnp.einsum("Yy,bYx->byx", Sq, acc,
+                             preferred_element_type=dt)
+            acc = jnp.einsum("Xx,byX->byx", Sq, acc,
+                             preferred_element_type=dt)
+        v = acc.reshape(m, self.N3)
         if self.N3p > self.N3:
             v = jnp.pad(v, ((0, 0), (0, self.N3p - self.N3)))
         return v
