@@ -217,18 +217,26 @@ class BrickStructure:
         # (Morton/level order preserved); the distributed partitioner builds
         # its own Morton order from brick_coord, so it is unaffected.
         C = B**dim
-        exc = np.bincount(brick_of_cell, minlength=self.n_bricks) < C
         ci = mf.constraints
+        # chain bricks: touched by any constraint/fill/fold index (hn cells,
+        # their face/edge master neighbors, vertex-contact diagonals). They
+        # form the FIRST tier so the cols-domain chain work (extract, fill,
+        # HN^T, folds, col2im) runs on a static leading slice of the subset
+        # — hole-only bricks need only the assembled masked-quadrature
+        # removal and skip the cols domain entirely.
+        chain = np.zeros(self.n_bricks, dtype=bool)
         xsel = (masks != 0) | self.vertex_contact
-        exc[brick_of_cell[xsel]] = True
+        chain[brick_of_cell[xsel]] = True
         mcells = np.nonzero(masks != 0)[0]
         for nbr in (ci.face_neighbor[mcells], ci.edge_neighbor[mcells]):
             v = nbr[nbr >= 0]
-            exc[brick_of_cell[v]] = True
+            chain[brick_of_cell[v]] = True
         vd = vdiag[self.vertex_contact]
         if len(vd):
-            exc[brick_of_cell[vd]] = True
-        old_order = np.argsort(~exc, kind="stable")  # exceptional first
+            chain[brick_of_cell[vd]] = True
+        exc = (np.bincount(brick_of_cell, minlength=self.n_bricks) < C) | chain
+        tier = np.where(chain, 0, np.where(exc, 1, 2))
+        old_order = np.argsort(tier, kind="stable")  # chain, hole-only, rest
         rank = np.empty(self.n_bricks, dtype=np.int64)
         rank[old_order] = np.arange(self.n_bricks)
         self.brick_level = self.brick_level[old_order]
@@ -236,6 +244,7 @@ class BrickStructure:
         brick_of_cell = rank[brick_of_cell]
         self.exc_brick = exc[old_order]
         self.n_exc_bricks = int(exc.sum())
+        self.n_chain_bricks = int(chain.sum())
         assert self.exc_brick[: self.n_exc_bricks].all()
 
         self.brick_of_cell = brick_of_cell
@@ -1124,6 +1133,17 @@ class BrickLaplaceMM:
                     T=np.asarray(T, dtype=mf.dtype),
                 )
             )
+        # every chain index (hn rows, fold sources/destinations) lives in
+        # the chain-brick prefix of the subset (BrickStructure tier 0), so
+        # the cols-domain chain work can run on u_sub[:n_chainb] only
+        self._n_chainb = bs.n_chain_bricks
+        _chain_lim = self._n_chainb * C
+        assert (hn_sub < _chain_lim).all()
+        for _lv in levels:
+            for _g in groups[_lv]:
+                assert (_g["fine"] < _chain_lim).all()
+                assert (_g["coarse"] < _chain_lim).all()
+
         # batched per-level transfer tensors: one padded [G, m_max] gather +
         # one [G, m, n_loc] x [G, n_loc, n_loc] einsum + one scatter-add per
         # level replaces the per-group take/dot/concat chains (~144 groups
@@ -1543,9 +1563,16 @@ class BrickLaplaceMM:
         nv_pad[:, :N3] = node_valid
 
         self.arrays = dict(
-            A=np.asarray(A_full, dtype=mf.dtype),
             E=np.asarray(E, dtype=mf.dtype),
             Kb=np.asarray(Kb, dtype=mf.dtype),
+            **(
+                # the dense assembled brick operator is only read by
+                # main_path="dense" — [N3p, N3p] is ~100 MB at NB=17, so
+                # keep it off the device for the separable default
+                {"A": np.asarray(A_full, dtype=mf.dtype)}
+                if main_path == "dense"
+                else {}
+            ),
             Mb=np.asarray(Mb, dtype=mf.dtype),
             Fxy=np.asarray(Fxy, dtype=mf.dtype),
             Mxy=np.asarray(Mxy, dtype=mf.dtype),
@@ -2101,7 +2128,11 @@ class BrickLaplaceMM:
             u_sub = self._take_sub(bv, a)
             n_hn = int(a["hn_sub"].shape[0])
             if n_hn:
-                cols_u = self._extract_cols(u_sub, a)  # [n_sub*C, n_loc]
+                # every chain index lives in the chain-brick prefix
+                # (BrickStructure tier 0, asserted at build): extract,
+                # fill, folds and col2im all run on n_chainb bricks only
+                n_cb = self._n_chainb
+                cols_u = self._extract_cols(u_sub[:n_cb], a)
                 # input-side fill (the read_dof_values analog,
                 # benchmark_03.h:296-317): interpolate the constrained
                 # cells' hanging slots from their masters in the cols
@@ -2116,7 +2147,7 @@ class BrickLaplaceMM:
                     dcols = self._corr_compact(None, None, sub_raw, a)
                 else:
                     dcols = jnp.zeros(
-                        (self._n_sub * C,) + sub_raw.shape[1:], bv.dtype
+                        (n_cb * C,) + sub_raw.shape[1:], bv.dtype
                     ).at[a["hn_sub"]].set(sub_raw)
                     if self._flat_meta:
                         dcols = self._fold_chain_flat(dcols, a, "corr")
@@ -2135,9 +2166,8 @@ class BrickLaplaceMM:
                                 dcols, a["transfers_b"][lv], fill=False
                             )
                             dcols = dcols.at[lz["lin"]].set(zeroed)
-                corr = self._scatter_cols(dcols, a) - self._masked_quad_apply(
-                    u_sub, a, a["qmask_rem"]
-                )
+                corr = -self._masked_quad_apply(u_sub, a, a["qmask_rem"])
+                corr = corr.at[:n_cb].add(self._scatter_cols(dcols, a))
             elif a["absent_sub"].shape[0]:
                 corr = -self._masked_quad_apply(u_sub, a, a["qmask_absent"])
             else:
@@ -2547,7 +2577,7 @@ class BrickLaplaceMM:
         else:
             C = self.bs.B ** self.bs.dim
             dcols = jnp.zeros(
-                (self._n_sub * C,) + sub_raw.shape[1:], sub_raw.dtype
+                (self._n_chainb * C,) + sub_raw.shape[1:], sub_raw.dtype
             )
         dcols = dcols.at[a["hn_sub"]].set(final_hn)
         for idx, rows in nh_parts:
