@@ -151,7 +151,9 @@ def auto_brick_size(degree: int, dim: int = 3) -> int:
 class BrickStructure:
     """Static brick layout + exchange plan derived from a MatrixFree object."""
 
-    def __init__(self, mf: MatrixFree, brick_size: int | None = None):
+    def __init__(self, mf: MatrixFree, brick_size: int | None = None,
+                 face_planes: bool = False):
+        self.face_planes = bool(face_planes)
         if brick_size is None:
             brick_size = auto_brick_size(mf.degree, mf.dim)
         if mf.dim not in (2, 3):
@@ -271,12 +273,25 @@ class BrickStructure:
         self.masks_b = np.zeros(ncb, dtype=np.int32)
         self.masks_b[self.cell_lin] = masks
 
+        # face-plane constraint resolution (node-domain, brick-wide): cells
+        # whose constraints are pure aligned face constraints are handled
+        # by per-interface-pair plane interpolation/fold on whole brick
+        # rows (wide static slices + tiny [NB, Nh] matmuls) instead of the
+        # per-cell cols chain whose per-row gathers dominate low-degree
+        # overhead. plane_covered cells drop out of the per-cell transfer
+        # machinery below; residual cells (edge/vertex/multi-level mixes)
+        # keep the exact per-cell path.
+        self.plane_covered = np.zeros(tria.n_active_cells, dtype=bool)
+        self.plane_groups = []
+        if self.face_planes and B >= 2 and B % 2 == 0:
+            self._build_face_planes(masks)
+
         # transfer-active subset: constrained cells + vertex-contact cells,
         # stable-sorted by mask so each distinct mask forms one contiguous
         # range — the "sorted" runner analog; the engines then apply one
         # composite [n_loc, n_loc] matmul per range instead of the
         # per-cell masked-sweep kernel (7.7 ms -> ~0.1 ms at nref=7).
-        xfer_sel = (masks != 0) | self.vertex_contact
+        xfer_sel = ((masks != 0) & ~self.plane_covered) | self.vertex_contact
         xfer_cells = np.nonzero(xfer_sel)[0]
         order = np.argsort(masks[xfer_cells], kind="stable")
         self.xfer_cells = xfer_cells[order]
@@ -479,6 +494,143 @@ class BrickStructure:
             self.corner_pool_id, self.n_corner_pools, include_self=True
         )
 
+    # ----------------------------------------------------------- face planes
+    def _build_face_planes(self, masks):
+        """Enumerate aligned cross-level interface pairs (fine brick face ↔
+        quarter of the coarse neighbor brick's face) and the cells they
+        fully resolve. A masked cell is plane-covered iff its compressed
+        mask has ONLY face bits (no edges), every constrained face is a
+        brick-boundary face against a one-level-coarser aligned brick, and
+        each face's master cell is unconstrained or itself plane-covered
+        (so the plane passes, staged coarse-first, read/write only values
+        earlier passes made valid). Everything else stays on the exact
+        per-cell chain. Groups are keyed (fine level, face axis, side,
+        tangential quarter offsets) so every slice in the engine kernels
+        is static."""
+        from .constraints import decompress_mask
+
+        mf, tria = self.mf, self.mf.tria
+        dim, p, B, NB = self.dim, self.p, self.B, self.NB
+        ci = mf.constraints
+        lvl = tria.level
+        coord = tria.coord
+        bofc = self.brick_of_cell
+        sub_a, face_a, edge_a = decompress_mask(masks, dim)
+        pure = (masks != 0) & (edge_a == 0)
+        # accepted cells per level, ascending (masters resolve first)
+        levels = np.unique(lvl[pure]) if pure.any() else []
+        props = {}  # (lF, d, s, *offs) -> {(F, Cb): [cells]}
+        for lv in levels:
+            cand = np.nonzero(pure & (lvl == lv))[0]
+            ok = np.ones(len(cand), dtype=bool)
+            faces_of = []  # per candidate: list of (d, s, F, Cb, offs)
+            for ii, c in enumerate(cand):
+                entry = []
+                for d in range(dim):
+                    if not (int(face_a[c]) >> d) & 1:
+                        continue
+                    s = (int(sub_a[c]) >> d) & 1
+                    lc_d = int(coord[c, d]) & (B - 1)
+                    if lc_d != (0 if s == 0 else B - 1):
+                        ok[ii] = False
+                        break
+                    m = int(ci.face_neighbor[c, d])
+                    if m < 0 or lvl[m] != lv - 1:
+                        ok[ii] = False
+                        break
+                    if masks[m] != 0 and not self.plane_covered[m]:
+                        # master's hanging nodes not plane-resolved
+                        ok[ii] = False
+                        break
+                    F = int(bofc[c])
+                    Cb = int(bofc[m])
+                    if self.brick_level[Cb] != lv - 1:
+                        ok[ii] = False
+                        break
+                    # coarse read/write plane: the masters' face toward the
+                    # fine side — possibly INTERIOR to Cb (a fine brick
+                    # nests inside half the coarse brick's region)
+                    lcm_d = int(coord[m, d]) & (B - 1)
+                    c_pl = lcm_d * p + (0 if s == 1 else p)
+                    offs = []
+                    for t in range(dim):
+                        if t == d:
+                            continue
+                        off = (
+                            int(self.brick_coord[F][t]) * (B // 2)
+                            - int(self.brick_coord[Cb][t]) * B
+                        )
+                        if off not in (0, B // 2):
+                            offs = None
+                            break
+                        offs.append(0 if off == 0 else 1)
+                    if offs is None:
+                        ok[ii] = False
+                        break
+                    entry.append((d, s, F, Cb, c_pl, tuple(offs)))
+                faces_of.append(entry)
+            for ii, c in enumerate(cand):
+                if not ok[ii] or not faces_of[ii]:
+                    continue
+                self.plane_covered[c] = True
+                for d, s, F, Cb, c_pl, offs in faces_of[ii]:
+                    key = (int(lvl[c]), d, s, c_pl) + offs
+                    props.setdefault(key, {}).setdefault((F, Cb), []).append(c)
+
+        # per-group arrays with per-pair node masks
+        Half = (NB - 1) // 2
+        Nh = Half + 1
+        from .elements import shape_info
+
+        nodes1 = shape_info(p).nodes  # FE nodal points on [0, 1]
+        # 1D fine-axis positions in coarse-half units + conforming flags
+        xf = np.empty(NB)
+        for q in range(B):
+            for j in range(p + 1):
+                xf[q * p + j] = (q + nodes1[j]) / B
+        xc = np.empty(Nh)
+        for k in range(B // 2):
+            for j in range(p + 1):
+                xc[k * p + j] = (2 * k + 2 * nodes1[j]) / B
+        for key in sorted(props):
+            lvF, d, s, c_pl = key[0], key[1], key[2], key[3]
+            offs = key[4:]
+            pairs = props[key]
+            fine_ids = np.array([f for f, _ in pairs], dtype=np.int32)
+            coarse_ids = np.array([cb for _, cb in pairs], dtype=np.int32)
+            tang = [t for t in range(dim) if t != d]
+            # plane array axes are (t_hi, t_lo) — spatial axes descending,
+            # matching the [.., z, y, x] brick tensor with axis d removed
+            mshape = (len(pairs),) + (NB,) * (dim - 1)
+            cover = np.zeros(mshape)
+            for pi, ((f, cb), cells) in enumerate(pairs.items()):
+                for c in cells:
+                    idx = [pi]
+                    for t in reversed(tang):  # t_hi first
+                        lc = int(coord[c, t]) & (B - 1)
+                        idx.append(slice(lc * p, lc * p + p + 1))
+                    cover[tuple(idx)] = 1.0
+            # the fold (corr) mask equals the fill mask: conforming
+            # cross-level copies fold too (one-hot P1^T rows) — the coarse
+            # copy owns the assembled value, fine copies are zeroed and
+            # restored by the input fill, exactly like the per-cell
+            # closure convention
+            self.plane_groups.append(dict(
+                level=lvF, d=d, s=s, c_pl=c_pl, offs=offs,
+                fine=fine_ids, coarse=coarse_ids, cover=cover,
+            ))
+        # interpolation from the covering coarse cell's nodal basis
+        P1 = np.zeros((NB, Nh))
+        from .elements import lagrange_values
+
+        for i in range(NB):
+            k = min(int(np.floor(xf[i] * (B // 2) - 1e-12)), B // 2 - 1)
+            k = max(k, 0)
+            xi = xf[i] * (B // 2) - k
+            P1[i, k * p: k * p + p + 1] = lagrange_values(
+                nodes1, np.array([xi]))[0]
+        self.plane_P1 = P1
+
     # ------------------------------------------------------------- transfers
     def _build_transfers(self):
         """Mask-grouped fold/fill row transfers between fine constrained cells
@@ -489,7 +641,7 @@ class BrickStructure:
         lat = self._lat
         ci = mf.constraints
         masks = mf._np["masks"]
-        hn_cells = np.nonzero(masks != 0)[0]
+        hn_cells = np.nonzero((masks != 0) & ~self.plane_covered)[0]
         groups = []
         for mval in np.unique(masks[hn_cells]):
             cells = hn_cells[masks[hn_cells] == mval]
@@ -925,7 +1077,7 @@ class BrickLaplaceMM:
                  matmul_precision: str = "high", main_path: str = "separable",
                  dss_mode: str | None = None, use_ssub: bool | None = None,
                  auto_layout: bool | None = None, fill_mode: str | None = None,
-                 col2im: str | None = None):
+                 col2im: str | None = None, face_planes: bool | None = None):
         if main_path not in ("separable", "dense"):
             raise ValueError(f"unknown main_path {main_path!r}")
         degree = mf.degree
@@ -968,7 +1120,20 @@ class BrickLaplaceMM:
         # (~f32 accuracy), 'highest' = exact f32
         self._precision = matmul_precision
 
-        self.bs = bs = BrickStructure(mf, brick_size)
+        if face_planes is None:
+            # face-plane constraint resolution rides the assembled
+            # (Cartesian, input-fill) schedule only; engines that reuse
+            # the per-cell machinery end-to-end (elasticity, distributed,
+            # GMG levels) pass face_planes=False explicitly
+            face_planes = (
+                os.environ.get("BRICK_PLANES", "1") != "0"
+                and not mf.high_order_mapping
+                and self._fill_mode == "input"
+            )
+        self._face_planes = bool(face_planes)
+
+        self.bs = bs = BrickStructure(mf, brick_size,
+                                      face_planes=self._face_planes)
         p, B, NB, dim = bs.p, bs.B, bs.NB, bs.dim
         self.n = n = p + 1
         n_loc = n**dim
@@ -1648,6 +1813,22 @@ class BrickLaplaceMM:
             Dqb=np.asarray(Dqb, dtype=mf.dtype),
             w1=np.asarray(si.quad_w, dtype=mf.dtype),
         )
+        # face-plane pair arrays (groups are level-ascending by build;
+        # static meta — axis/side/offsets — stays python-side)
+        self._plane_meta = []
+        if self._face_planes and bs.plane_groups:
+            self._plane_meta = [
+                dict(level=g["level"], d=g["d"], s=g["s"], c_pl=g["c_pl"],
+                     offs=g["offs"], n=len(g["fine"]))
+                for g in bs.plane_groups
+            ]
+            self.arrays["plane_P1"] = np.asarray(bs.plane_P1, dtype=mf.dtype)
+            for i, g in enumerate(bs.plane_groups):
+                self.arrays[f"plane{i}_fine"] = g["fine"]
+                self.arrays[f"plane{i}_coarse"] = g["coarse"]
+                self.arrays[f"plane{i}_cover"] = np.asarray(
+                    g["cover"], dtype=mf.dtype
+                )
         if not mf.high_order_mapping and self._n_sub:
             # per-cell selectors for the assembled (quadrature-domain)
             # subset removals, geo-premultiplied: absent (hole) cells, and
@@ -2106,6 +2287,12 @@ class BrickLaplaceMM:
         bs = self.bs
         dim = bs.dim
         C = bs.B**dim
+        # 0) face-plane input resolution (assembled schedule): plane-covered
+        #    constraints fill before the main pass, so their cells compute
+        #    correct integrals with no per-cell correction at all
+        assembled = (not self._deformed) and self._fill_mode == "input"
+        if assembled and self._plane_meta:
+            bv = self._plane_fill(bv, a)
         # 1) main path: assembled brick operator (Kronecker-separable form),
         #    or whole-brick quadrature sweeps under a high-order mapping
         if self._deformed:
@@ -2114,10 +2301,15 @@ class BrickLaplaceMM:
             v = self._main_apply(bv, a)
             v = v * a["geo"][:, None]
 
+        if assembled and not self._n_sub:
+            # plane-only constraints (no exceptional bricks): fold the
+            # hanging outputs and hand a corr-free vector to the DSS
+            return self._dss_fill(self._plane_corr(v, a), a, None)
+
         # 2) corrections on the exceptional-brick subset: absent (hole) cells
         #    contribute nothing; constrained cells contribute HN^T values with
         #    their closure slots folded (chained) into coarse neighbors.
-        if self._n_sub and not self._deformed and self._fill_mode == "input":
+        if self._n_sub and assembled:
             # assembled removal (Cartesian input-fill, the default): the
             # unconstrained contributions of absent AND constrained cells
             # are subtracted by ONE masked quadrature apply on the subset
@@ -2172,6 +2364,13 @@ class BrickLaplaceMM:
                 corr = -self._masked_quad_apply(u_sub, a, a["qmask_absent"])
             else:
                 corr = None
+            if self._plane_meta:
+                # residual corr merges first (its deltas vacate the
+                # hanging slots it owns), then the plane fold runs pre-DSS
+                if corr is not None:
+                    v = self._subset_scatter_add(v, corr, a)
+                    corr = None
+                v = self._plane_corr(v, a)
             return self._dss_fill(v, a, corr)
 
         if self._n_sub:
@@ -2607,6 +2806,10 @@ class BrickLaplaceMM:
         the vmult fill pass, reading the vector's own surface values (no
         DSS). Used by the Dirichlet mask / diagonal scaling of the GMG
         stack, whose pointwise operations break only the hanging copies."""
+        if self._plane_meta:
+            # plane-covered hanging copies restore at face granularity;
+            # the per-cell chain below covers the residual set
+            v = self._plane_fill(v, a)
         if not (self._n_sub and a["hn_sub"].shape[0]):
             return v
         if self._fill_mode == "volume":
@@ -2747,6 +2950,108 @@ class BrickLaplaceMM:
         if self.N3p > self.N3:
             v = jnp.pad(v, ((0, 0), (0, self.N3p - self.N3)))
         return v
+
+    # ---------------------------------------------------- face-plane chain
+    @staticmethod
+    def _face_ix(dim, d, idx):
+        """Static index tuple selecting the face plane at lattice index idx
+        along spatial axis d of a [m, ...lattice] brick tensor (array axis
+        dim - d, since the lattice axes are (z, y, x))."""
+        sl = [slice(None)] * (dim + 1)
+        sl[dim - d] = idx
+        return tuple(sl)
+
+    def _plane_fill(self, bv, a):
+        """Input-side face-plane constraint resolution: for every aligned
+        interface pair, overwrite the covered nodes of the fine brick's
+        face with the interpolation of the coarse neighbor's quarter face
+        (wide brick-row gathers + static slices + [NB, Nh] matmuls; no
+        per-cell work). Groups run coarse level first so multi-level
+        masters are valid before finer pairs read them."""
+        if not self._plane_meta:
+            return bv
+        bs = self.bs
+        NB, dim = bs.NB, bs.dim
+        nb = bv.shape[0]
+        Nh = (NB - 1) // 2 + 1
+        Half = Nh - 1
+        P1 = a["plane_P1"]
+        dt = bv.dtype
+        t = bv[:, : self.N3].reshape((nb,) + (NB,) * dim)
+        for i, m in enumerate(self._plane_meta):
+            d, s, offs = m["d"], m["s"], m["offs"]
+            cr = jnp.take(t, a[f"plane{i}_coarse"], axis=0)
+            cpl = cr[self._face_ix(dim, d, m["c_pl"])]
+            if dim == 3:
+                r0, c0 = offs[1] * Half, offs[0] * Half
+                q = cpl[:, r0:r0 + Nh, c0:c0 + Nh]
+                fp = jnp.einsum("iI,bIJ->biJ", P1, q,
+                                preferred_element_type=dt)
+                fp = jnp.einsum("jJ,biJ->bij", P1, fp,
+                                preferred_element_type=dt)
+            else:
+                c0 = offs[0] * Half
+                fp = jnp.einsum("iI,bI->bi", P1, cpl[:, c0:c0 + Nh],
+                                preferred_element_type=dt)
+            fr = jnp.take(t, a[f"plane{i}_fine"], axis=0)
+            fix = self._face_ix(dim, d, 0 if s == 0 else NB - 1)
+            cover = a[f"plane{i}_cover"]
+            fr = fr.at[fix].set(fr[fix] * (1.0 - cover) + fp * cover)
+            t = t.at[a[f"plane{i}_fine"]].set(fr)
+        out = t.reshape(nb, self.N3)
+        if self.N3p > self.N3:
+            out = jnp.pad(out, ((0, 0), (0, self.N3p - self.N3)))
+        return out
+
+    def _plane_corr(self, v, a):
+        """Output-side face-plane fold (the C^T of _plane_fill): the
+        hanging nodes of each covered fine face scatter their partial sums
+        into the coarse quarter face through P1^T and are zeroed (reduced
+        outputs). Fine levels run first so multi-level chains fold
+        onward."""
+        if not self._plane_meta:
+            return v
+        bs = self.bs
+        NB, dim = bs.NB, bs.dim
+        nb = v.shape[0]
+        Nh = (NB - 1) // 2 + 1
+        Half = Nh - 1
+        P1 = a["plane_P1"]
+        dt = v.dtype
+        t = v[:, : self.N3].reshape((nb,) + (NB,) * dim)
+        for i in reversed(range(len(self._plane_meta))):
+            m = self._plane_meta[i]
+            d, s, offs = m["d"], m["s"], m["offs"]
+            hang = a[f"plane{i}_cover"]
+            fr = jnp.take(t, a[f"plane{i}_fine"], axis=0)
+            fix = self._face_ix(dim, d, 0 if s == 0 else NB - 1)
+            fpl = fr[fix]
+            h = fpl * hang
+            n_k = h.shape[0]
+            if dim == 3:
+                r0, c0 = offs[1] * Half, offs[0] * Half
+                fold = jnp.einsum("iI,bij->bIj", P1, h,
+                                  preferred_element_type=dt)
+                fold = jnp.einsum("jJ,bIj->bIJ", P1, fold,
+                                  preferred_element_type=dt)
+                cadd = jnp.zeros((n_k, NB, NB), dt).at[
+                    :, r0:r0 + Nh, c0:c0 + Nh
+                ].set(fold)
+            else:
+                c0 = offs[0] * Half
+                fold = jnp.einsum("iI,bi->bI", P1, h,
+                                  preferred_element_type=dt)
+                cadd = jnp.zeros((n_k, NB), dt).at[:, c0:c0 + Nh].set(fold)
+            crow = jnp.zeros((n_k,) + (NB,) * dim, dt).at[
+                self._face_ix(dim, d, m["c_pl"])
+            ].set(cadd)
+            t = t.at[a[f"plane{i}_coarse"]].add(crow)
+            fr = fr.at[fix].set(fpl * (1.0 - hang))
+            t = t.at[a[f"plane{i}_fine"]].set(fr)
+        out = t.reshape(nb, self.N3)
+        if self.N3p > self.N3:
+            out = jnp.pad(out, ((0, 0), (0, self.N3p - self.N3)))
+        return out
 
     def _masked_quad_apply(self, u_rows, a, mask):
         """Assembled Laplace apply restricted to a cell subset, in the
@@ -3173,6 +3478,11 @@ class BrickLaplaceMM:
             raise NotImplementedError(
                 "vmult_multi does not support high_order_mapping; apply "
                 "vmult per RHS (the deformed kernels are not k-batched)"
+            )
+        if self._plane_meta:
+            raise NotImplementedError(
+                "vmult_multi does not support face_planes=True; construct "
+                "the engine with face_planes=False for multi-RHS use"
             )
         k = int(bvk.shape[0])
         cache = self.__dict__.setdefault("_jit_vmult_multi_k", {})

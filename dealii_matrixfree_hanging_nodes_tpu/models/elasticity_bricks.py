@@ -84,7 +84,8 @@ class BrickElasticity:
         # the scalar engine supplies brick structure, HN chains, DSS and
         # subset machinery; input fill keeps outputs reduced
         self.mm = mm = BrickLaplaceMM(
-            mf, brick_size, matmul_precision, fill_mode="input"
+            mf, brick_size, matmul_precision, fill_mode="input",
+            face_planes=False,  # elasticity drives the per-cell chains
         )
         if mm._n_sub and mm._np_arrays["hn_sub"].shape[0] and (
             mm._chain_mode != "compact" or mm._flat_meta is None

@@ -310,7 +310,8 @@ class BrickGMGPreconditioner:
             mf = MatrixFree(tria, degree, dtype=dtype)
             self.levels.append(mf)
             self.mms.append(
-                BrickLaplaceMM(mf, matmul_precision=matmul_precision)
+                BrickLaplaceMM(mf, matmul_precision=matmul_precision,
+                               face_planes=False)
             )
         # ---- host phase: ALL NumPy-heavy setup BEFORE the first device
         # use (CLAUDE.md: once the TPU backend initializes, host NumPy

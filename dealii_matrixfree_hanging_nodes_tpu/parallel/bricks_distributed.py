@@ -94,7 +94,10 @@ class DistributedBrickLaplace:
         self.mesh = Mesh(np.array(devices), (axis_name,))
         # single-chip engine: reused for constants (Kb/Mb/Fxy/K/E/Es/P/hn_Q)
         # and the extract/scatter/main-apply/hn-apply building blocks
-        self.mm = BrickLaplaceMM(mf, brick_size, matmul_precision)
+        # the distributed step drives the per-cell chain machinery; the
+        # face-plane schedule needs its own cross-rank pair exchange
+        self.mm = BrickLaplaceMM(mf, brick_size, matmul_precision,
+                                 face_planes=False)
         self._setup(weights)
         self._build_step()
 

@@ -6,6 +6,7 @@ import dealii_matrixfree_hanging_nodes_tpu as mfhn
 from dealii_matrixfree_hanging_nodes_tpu.matrix_free import MatrixFree
 from dealii_matrixfree_hanging_nodes_tpu.models.laplace import LaplaceOperator
 from dealii_matrixfree_hanging_nodes_tpu.bricks import BrickLaplace, BrickLaplaceMM
+from dealii_matrixfree_hanging_nodes_tpu.oracle import vmult_oracle
 
 
 CASES = [
@@ -79,7 +80,7 @@ def test_vmult_multi_matches_single():
     for geo, nref, p, nrhs in [("quadrant", 3, 2, 3), ("annulus", 3, 2, 8)]:
         t = mfhn.create_geometry(geo, 3, nref)
         mf = MatrixFree(t, p, dtype=np.float64)
-        bl = BrickLaplaceMM(mf)
+        bl = BrickLaplaceMM(mf, face_planes=False)
         rng = np.random.default_rng(2)
         vs = [
             mf.constraints.distribute(rng.standard_normal(mf.n_dofs))
@@ -92,6 +93,35 @@ def test_vmult_multi_matches_single():
             assert float(jnp.abs(multi[k] - single).max()) < 1e-12, (geo, k)
 
 
+@pytest.mark.parametrize(
+    "geo,dim,nref,p",
+    [("quadrant", 3, 4, 2), ("quadrant", 2, 5, 3), ("step", 3, 4, 2),
+     ("quadrant", 3, 4, 4)],
+)
+def test_face_planes_match_oracle(geo, dim, nref, p):
+    """The face-plane schedule (node-domain per-interface-pair fill/fold,
+    default for the Cartesian input-fill engine) matches the assembled
+    oracle AND the per-cell engine exactly, with nonzero plane coverage
+    so the fast path is actually exercised."""
+    t = mfhn.create_geometry(geo, dim, nref)
+    mf = MatrixFree(t, p, dtype=np.float64)
+    u = np.random.default_rng(0).standard_normal(mf.n_dofs)
+    ref = vmult_oracle(t, p, u)
+    s = np.abs(ref).max()
+    bl = BrickLaplaceMM(mf)
+    assert bl._face_planes and bl.bs.plane_covered.sum() > 0
+    out = bl.to_dof_vector(bl.vmult(bl.from_dof_vector(u)), zero_hanging=True)
+    assert np.abs(out - ref).max() < 1e-12 * s
+    # refill restores the invariant through the plane fill + residual chain
+    bv = bl.vmult(bl.from_dof_vector(u))
+    rf = np.asarray(bl.refill(bv))
+    assert np.isfinite(rf).all()
+    b0 = BrickLaplaceMM(mf, face_planes=False)
+    out0 = b0.to_dof_vector(b0.vmult(b0.from_dof_vector(u)),
+                            zero_hanging=True)
+    assert np.abs(out - out0).max() < 1e-12 * s
+
+
 @pytest.mark.parametrize("chain", ["compact", "flat", "seq"])
 def test_vmult_multi_chain_modes(monkeypatch, chain):
     """Multi-RHS input-fill matches single-RHS under EVERY chain schedule
@@ -101,7 +131,9 @@ def test_vmult_multi_chain_modes(monkeypatch, chain):
     monkeypatch.setenv("BRICK_CHAIN", chain)
     t = mfhn.create_quadrant(3, 4)
     mf = MatrixFree(t, 2, dtype=np.float64)
-    bl = BrickLaplaceMM(mf)
+    # multi-RHS rides the per-cell chain machinery (face_planes=False,
+    # like the engines that consume it — see vmult_multi's guard)
+    bl = BrickLaplaceMM(mf, face_planes=False)
     assert bl._fill_mode == "input" and bl._chain_mode == chain
     rng = np.random.default_rng(4)
     vs = [
