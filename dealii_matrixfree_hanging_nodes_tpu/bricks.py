@@ -1814,7 +1814,11 @@ class BrickLaplaceMM:
             w1=np.asarray(si.quad_w, dtype=mf.dtype),
         )
         # face-plane pair arrays (groups are level-ascending by build;
-        # static meta — axis/side/offsets — stays python-side)
+        # static meta — axis/side/offsets — stays python-side). All group
+        # indices are remapped into a compact WORKING SET of plane-touched
+        # bricks: the group loop's row scatters then copy a [n_W, N3]
+        # buffer instead of the full brick tensor per group (one global
+        # gather at entry, one scatter at exit).
         self._plane_meta = []
         if self._face_planes and bs.plane_groups:
             self._plane_meta = [
@@ -1822,10 +1826,21 @@ class BrickLaplaceMM:
                      offs=g["offs"], n=len(g["fine"]))
                 for g in bs.plane_groups
             ]
+            W = np.unique(np.concatenate(
+                [g["fine"] for g in bs.plane_groups]
+                + [g["coarse"] for g in bs.plane_groups]
+            ))
+            w_of = np.full(bs.n_bricks, -1, dtype=np.int64)
+            w_of[W] = np.arange(len(W))
+            self.arrays["plane_W"] = W.astype(np.int32)
             self.arrays["plane_P1"] = np.asarray(bs.plane_P1, dtype=mf.dtype)
             for i, g in enumerate(bs.plane_groups):
-                self.arrays[f"plane{i}_fine"] = g["fine"]
-                self.arrays[f"plane{i}_coarse"] = g["coarse"]
+                self.arrays[f"plane{i}_fine"] = w_of[g["fine"]].astype(
+                    np.int32
+                )
+                self.arrays[f"plane{i}_coarse"] = w_of[g["coarse"]].astype(
+                    np.int32
+                )
                 self.arrays[f"plane{i}_cover"] = np.asarray(
                     g["cover"], dtype=mf.dtype
                 )
@@ -2977,7 +2992,9 @@ class BrickLaplaceMM:
         Half = Nh - 1
         P1 = a["plane_P1"]
         dt = bv.dtype
-        t = bv[:, : self.N3].reshape((nb,) + (NB,) * dim)
+        tf = bv[:, : self.N3]
+        W = a["plane_W"]
+        t = jnp.take(tf, W, axis=0).reshape((-1,) + (NB,) * dim)
         for i, m in enumerate(self._plane_meta):
             d, s, offs = m["d"], m["s"], m["offs"]
             cr = jnp.take(t, a[f"plane{i}_coarse"], axis=0)
@@ -2998,7 +3015,7 @@ class BrickLaplaceMM:
             cover = a[f"plane{i}_cover"]
             fr = fr.at[fix].set(fr[fix] * (1.0 - cover) + fp * cover)
             t = t.at[a[f"plane{i}_fine"]].set(fr)
-        out = t.reshape(nb, self.N3)
+        out = tf.at[W].set(t.reshape(-1, NB**dim))
         if self.N3p > self.N3:
             out = jnp.pad(out, ((0, 0), (0, self.N3p - self.N3)))
         return out
@@ -3018,7 +3035,9 @@ class BrickLaplaceMM:
         Half = Nh - 1
         P1 = a["plane_P1"]
         dt = v.dtype
-        t = v[:, : self.N3].reshape((nb,) + (NB,) * dim)
+        tf = v[:, : self.N3]
+        W = a["plane_W"]
+        t = jnp.take(tf, W, axis=0).reshape((-1,) + (NB,) * dim)
         for i in reversed(range(len(self._plane_meta))):
             m = self._plane_meta[i]
             d, s, offs = m["d"], m["s"], m["offs"]
@@ -3048,7 +3067,7 @@ class BrickLaplaceMM:
             t = t.at[a[f"plane{i}_coarse"]].add(crow)
             fr = fr.at[fix].set(fpl * (1.0 - hang))
             t = t.at[a[f"plane{i}_fine"]].set(fr)
-        out = t.reshape(nb, self.N3)
+        out = tf.at[W].set(t.reshape(-1, NB**dim))
         if self.N3p > self.N3:
             out = jnp.pad(out, ((0, 0), (0, self.N3p - self.N3)))
         return out
