@@ -210,6 +210,16 @@ class BrickStructure:
         self.vertex_contact = (vdiag >= 0) & (masks == 0)
         self.vertex_diag = vdiag
 
+        # face-plane constraint resolution (node-domain, brick-wide),
+        # computed BEFORE the tier sort so plane-covered cells neither
+        # enter the chain tier nor size the per-cell cols machinery; the
+        # group brick ids are remapped through the reorder below.
+        self.plane_covered = np.zeros(tria.n_active_cells, dtype=bool)
+        self.plane_groups = []
+        self.brick_of_cell = brick_of_cell  # pre-reorder ids for the build
+        if self.face_planes and B >= 2 and B % 2 == 0:
+            self._build_face_planes(masks)
+
         # ---- subset-first brick order -------------------------------------
         # Exceptional bricks (holes, constrained cells, or fold/fill coarse
         # targets) are renumbered to the front, so every engine subset
@@ -227,9 +237,10 @@ class BrickStructure:
         # — hole-only bricks need only the assembled masked-quadrature
         # removal and skip the cols domain entirely.
         chain = np.zeros(self.n_bricks, dtype=bool)
-        xsel = (masks != 0) | self.vertex_contact
+        resid = (masks != 0) & ~self.plane_covered
+        xsel = resid | self.vertex_contact
         chain[brick_of_cell[xsel]] = True
-        mcells = np.nonzero(masks != 0)[0]
+        mcells = np.nonzero(resid)[0]
         for nbr in (ci.face_neighbor[mcells], ci.edge_neighbor[mcells]):
             v = nbr[nbr >= 0]
             chain[brick_of_cell[v]] = True
@@ -248,6 +259,9 @@ class BrickStructure:
         self.n_exc_bricks = int(exc.sum())
         self.n_chain_bricks = int(chain.sum())
         assert self.exc_brick[: self.n_exc_bricks].all()
+        for g in self.plane_groups:  # into the reordered numbering
+            g["fine"] = rank[g["fine"]].astype(np.int32)
+            g["coarse"] = rank[g["coarse"]].astype(np.int32)
 
         self.brick_of_cell = brick_of_cell
         self.slot_of_cell = slot
@@ -272,19 +286,6 @@ class BrickStructure:
         # masks / hn subset in brick-cell numbering
         self.masks_b = np.zeros(ncb, dtype=np.int32)
         self.masks_b[self.cell_lin] = masks
-
-        # face-plane constraint resolution (node-domain, brick-wide): cells
-        # whose constraints are pure aligned face constraints are handled
-        # by per-interface-pair plane interpolation/fold on whole brick
-        # rows (wide static slices + tiny [NB, Nh] matmuls) instead of the
-        # per-cell cols chain whose per-row gathers dominate low-degree
-        # overhead. plane_covered cells drop out of the per-cell transfer
-        # machinery below; residual cells (edge/vertex/multi-level mixes)
-        # keep the exact per-cell path.
-        self.plane_covered = np.zeros(tria.n_active_cells, dtype=bool)
-        self.plane_groups = []
-        if self.face_planes and B >= 2 and B % 2 == 0:
-            self._build_face_planes(masks)
 
         # transfer-active subset: constrained cells + vertex-contact cells,
         # stable-sorted by mask so each distinct mask forms one contiguous

@@ -107,6 +107,7 @@ def test_transfer_adjoint_and_poly_reproduction():
     assert np.abs(got - ff).max() < 1e-9 * max(1.0, np.abs(ff).max())
 
 
+@pytest.mark.slow
 def test_gmg_preconditioned_cg_converges_fast():
     gmg = GMGPreconditioner("quadrant", 3, 3, 2, n_smooth=3)
     op = gmg.fine_op
@@ -122,6 +123,7 @@ def test_gmg_preconditioned_cg_converges_fast():
     assert iters < 30, iters  # GMG should converge in O(10) iterations
 
 
+@pytest.mark.slow
 def test_distributed_gmg_cg_matches_single_chip():
     """Multi-chip Chebyshev-GMG-CG (BASELINE row 4): same iteration count and
     solution as the single-chip preconditioner on an 8-device mesh."""
@@ -168,6 +170,7 @@ def test_laplace_diagonal_host_matches_device_probing():
     assert np.abs((dev - host)[use]).max() < 1e-11 * max(1, np.abs(dev).max())
 
 
+@pytest.mark.slow
 def test_brick_refill_restores_invariant():
     """refill recomputes every hanging copy from masters after a pointwise
     mask breaks the invariant (the GMG stack's Dirichlet/diagonal ops)."""
@@ -194,6 +197,7 @@ def test_brick_refill_restores_invariant():
         assert np.abs(got - ref).max() < 1e-12 * max(1, np.abs(ref).max())
 
 
+@pytest.mark.slow
 def test_brick_transfer_matches_index_transfer():
     from dealii_matrixfree_hanging_nodes_tpu.bricks import BrickLaplaceMM
     from dealii_matrixfree_hanging_nodes_tpu.models.multigrid_bricks import (
@@ -227,6 +231,7 @@ def test_brick_transfer_matches_index_transfer():
     assert abs(lhs - rhs) < 1e-10 * max(1, abs(lhs))
 
 
+@pytest.mark.slow
 def test_brick_gmg_cg_matches_index_gmg():
     """GMG-CG entirely on the brick engine (VERDICT r2 item 6): converges in
     O(10) iterations and reproduces the index-engine GMG solution."""
