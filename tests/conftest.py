@@ -15,3 +15,26 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Tier the suite: nodeids (or test-name prefixes) listed in
+    tests/slow_tests.txt get the `slow` marker, so CI's per-push gate can
+    run `pytest -m "not slow"` (<3 min on this 1-vCPU host) and the full
+    suite nightly (VERDICT r4 item 7)."""
+    import os
+
+    import pytest as _pytest
+
+    path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    if not os.path.exists(path):
+        return
+    prefixes = [
+        ln.strip()
+        for ln in open(path)
+        if ln.strip() and not ln.startswith("#")
+    ]
+    for item in items:
+        nid = item.nodeid
+        if any(nid == p or nid.startswith(p + "[") for p in prefixes):
+            item.add_marker(_pytest.mark.slow)
