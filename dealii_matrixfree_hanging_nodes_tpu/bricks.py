@@ -1835,10 +1835,25 @@ class BrickLaplaceMM:
             w_of[W] = np.arange(len(W))
             self.arrays["plane_W"] = W.astype(np.int32)
             self.arrays["plane_P1"] = np.asarray(bs.plane_P1, dtype=mf.dtype)
+            # per-LEVEL fine-row buffers: the group loop's row scatters run
+            # on a [n_level_fine, N3] buffer (one working-set copy per
+            # level, not per group — a per-group scatter copies the whole
+            # working set, which dominated at large N3)
+            self._plane_levels = sorted({m["level"] for m in self._plane_meta})
+            for lv in self._plane_levels:
+                gl = [i for i, m in enumerate(self._plane_meta)
+                      if m["level"] == lv]
+                ids = np.unique(np.concatenate(
+                    [w_of[bs.plane_groups[i]["fine"]] for i in gl]
+                ))
+                l_of = np.full(len(W), -1, dtype=np.int64)
+                l_of[ids] = np.arange(len(ids))
+                self.arrays[f"plvl{lv}_ids"] = ids.astype(np.int32)
+                for i in gl:
+                    self.arrays[f"plane{i}_fine_l"] = l_of[
+                        w_of[bs.plane_groups[i]["fine"]]
+                    ].astype(np.int32)
             for i, g in enumerate(bs.plane_groups):
-                self.arrays[f"plane{i}_fine"] = w_of[g["fine"]].astype(
-                    np.int32
-                )
                 self.arrays[f"plane{i}_coarse"] = w_of[g["coarse"]].astype(
                     np.int32
                 )
@@ -2996,26 +3011,34 @@ class BrickLaplaceMM:
         tf = bv[:, : self.N3]
         W = a["plane_W"]
         t = jnp.take(tf, W, axis=0).reshape((-1,) + (NB,) * dim)
-        for i, m in enumerate(self._plane_meta):
-            d, s, offs = m["d"], m["s"], m["offs"]
-            cr = jnp.take(t, a[f"plane{i}_coarse"], axis=0)
-            cpl = cr[self._face_ix(dim, d, m["c_pl"])]
-            if dim == 3:
-                r0, c0 = offs[1] * Half, offs[0] * Half
-                q = cpl[:, r0:r0 + Nh, c0:c0 + Nh]
-                fp = jnp.einsum("iI,bIJ->biJ", P1, q,
-                                preferred_element_type=dt)
-                fp = jnp.einsum("jJ,biJ->bij", P1, fp,
-                                preferred_element_type=dt)
-            else:
-                c0 = offs[0] * Half
-                fp = jnp.einsum("iI,bI->bi", P1, cpl[:, c0:c0 + Nh],
-                                preferred_element_type=dt)
-            fr = jnp.take(t, a[f"plane{i}_fine"], axis=0)
-            fix = self._face_ix(dim, d, 0 if s == 0 else NB - 1)
-            cover = a[f"plane{i}_cover"]
-            fr = fr.at[fix].set(fr[fix] * (1.0 - cover) + fp * cover)
-            t = t.at[a[f"plane{i}_fine"]].set(fr)
+        for lv in self._plane_levels:  # coarse level first
+            ids = a[f"plvl{lv}_ids"]
+            buf = jnp.take(t, ids, axis=0)
+            for i, m in enumerate(self._plane_meta):
+                if m["level"] != lv:
+                    continue
+                d, s, offs = m["d"], m["s"], m["offs"]
+                # coarse reads come from t (earlier levels committed)
+                cr = jnp.take(t, a[f"plane{i}_coarse"], axis=0)
+                cpl = cr[self._face_ix(dim, d, m["c_pl"])]
+                if dim == 3:
+                    r0, c0 = offs[1] * Half, offs[0] * Half
+                    q = cpl[:, r0:r0 + Nh, c0:c0 + Nh]
+                    fp = jnp.einsum("iI,bIJ->biJ", P1, q,
+                                    preferred_element_type=dt)
+                    fp = jnp.einsum("jJ,biJ->bij", P1, fp,
+                                    preferred_element_type=dt)
+                else:
+                    c0 = offs[0] * Half
+                    fp = jnp.einsum("iI,bI->bi", P1, cpl[:, c0:c0 + Nh],
+                                    preferred_element_type=dt)
+                fl = a[f"plane{i}_fine_l"]
+                fr = jnp.take(buf, fl, axis=0)
+                fix = self._face_ix(dim, d, 0 if s == 0 else NB - 1)
+                cover = a[f"plane{i}_cover"]
+                fr = fr.at[fix].set(fr[fix] * (1.0 - cover) + fp * cover)
+                buf = buf.at[fl].set(fr)
+            t = t.at[ids].set(buf)
         out = tf.at[W].set(t.reshape(-1, NB**dim))
         if self.N3p > self.N3:
             out = jnp.pad(out, ((0, 0), (0, self.N3p - self.N3)))
@@ -3039,35 +3062,49 @@ class BrickLaplaceMM:
         tf = v[:, : self.N3]
         W = a["plane_W"]
         t = jnp.take(tf, W, axis=0).reshape((-1,) + (NB,) * dim)
-        for i in reversed(range(len(self._plane_meta))):
-            m = self._plane_meta[i]
-            d, s, offs = m["d"], m["s"], m["offs"]
-            hang = a[f"plane{i}_cover"]
-            fr = jnp.take(t, a[f"plane{i}_fine"], axis=0)
-            fix = self._face_ix(dim, d, 0 if s == 0 else NB - 1)
-            fpl = fr[fix]
-            h = fpl * hang
-            n_k = h.shape[0]
-            if dim == 3:
-                r0, c0 = offs[1] * Half, offs[0] * Half
-                fold = jnp.einsum("iI,bij->bIj", P1, h,
-                                  preferred_element_type=dt)
-                fold = jnp.einsum("jJ,bIj->bIJ", P1, fold,
-                                  preferred_element_type=dt)
-                cadd = jnp.zeros((n_k, NB, NB), dt).at[
-                    :, r0:r0 + Nh, c0:c0 + Nh
-                ].set(fold)
-            else:
-                c0 = offs[0] * Half
-                fold = jnp.einsum("iI,bi->bI", P1, h,
-                                  preferred_element_type=dt)
-                cadd = jnp.zeros((n_k, NB), dt).at[:, c0:c0 + Nh].set(fold)
-            crow = jnp.zeros((n_k,) + (NB,) * dim, dt).at[
-                self._face_ix(dim, d, m["c_pl"])
-            ].set(cadd)
-            t = t.at[a[f"plane{i}_coarse"]].add(crow)
-            fr = fr.at[fix].set(fpl * (1.0 - hang))
-            t = t.at[a[f"plane{i}_fine"]].set(fr)
+        for lv in reversed(self._plane_levels):  # fine level first
+            ids = a[f"plvl{lv}_ids"]
+            buf = jnp.take(t, ids, axis=0)
+            crows, cids = [], []
+            for i, m in enumerate(self._plane_meta):
+                if m["level"] != lv:
+                    continue
+                d, s, offs = m["d"], m["s"], m["offs"]
+                hang = a[f"plane{i}_cover"]
+                fl = a[f"plane{i}_fine_l"]
+                fr = jnp.take(buf, fl, axis=0)
+                fix = self._face_ix(dim, d, 0 if s == 0 else NB - 1)
+                fpl = fr[fix]
+                h = fpl * hang
+                n_k = h.shape[0]
+                if dim == 3:
+                    r0, c0 = offs[1] * Half, offs[0] * Half
+                    fold = jnp.einsum("iI,bij->bIj", P1, h,
+                                      preferred_element_type=dt)
+                    fold = jnp.einsum("jJ,bIj->bIJ", P1, fold,
+                                      preferred_element_type=dt)
+                    cadd = jnp.zeros((n_k, NB, NB), dt).at[
+                        :, r0:r0 + Nh, c0:c0 + Nh
+                    ].set(fold)
+                else:
+                    c0 = offs[0] * Half
+                    fold = jnp.einsum("iI,bi->bI", P1, h,
+                                      preferred_element_type=dt)
+                    cadd = jnp.zeros((n_k, NB), dt).at[
+                        :, c0:c0 + Nh
+                    ].set(fold)
+                crow = jnp.zeros((n_k,) + (NB,) * dim, dt).at[
+                    self._face_ix(dim, d, m["c_pl"])
+                ].set(cadd)
+                crows.append(crow.reshape(n_k, -1))
+                cids.append(a[f"plane{i}_coarse"])
+                fr = fr.at[fix].set(fpl * (1.0 - hang))
+                buf = buf.at[fl].set(fr)
+            t = t.at[ids].set(buf)
+            # one scatter-add of all the level's coarse folds (dup ids sum)
+            t = t.reshape(-1, NB**dim).at[
+                jnp.concatenate(cids)
+            ].add(jnp.concatenate(crows)).reshape((-1,) + (NB,) * dim)
         out = tf.at[W].set(t.reshape(-1, NB**dim))
         if self.N3p > self.N3:
             out = jnp.pad(out, ((0, 0), (0, self.N3p - self.N3)))
