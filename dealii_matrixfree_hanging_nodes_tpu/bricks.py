@@ -1125,9 +1125,21 @@ class BrickLaplaceMM:
             # face-plane constraint resolution rides the assembled
             # (Cartesian, input-fill) schedule only; engines that reuse
             # the per-cell machinery end-to-end (elasticity, distributed,
-            # GMG levels) pass face_planes=False explicitly
+            # GMG levels) pass face_planes=False explicitly. Measured
+            # default (r5_p{1,2,3}r8/r9 rows): a brick holds B^dim tiny
+            # cells at p<=2, where the per-cell chains cost 3-6x the plane
+            # passes (p=1 r9: 86 -> 30 ms; p=2 r8: 25 -> 21 ms); at p>=3
+            # the residual chains are already cheap and the plane passes'
+            # per-level buffer copies on the larger [*, NB^dim] bricks
+            # cost more than they save (p=3 r8: 42 -> 71 ms). BRICK_PLANES
+            # =0/1 overrides.
+            env = os.environ.get("BRICK_PLANES", "auto")
+            if env in ("0", "1"):
+                face_planes = env == "1"
+            else:
+                face_planes = degree <= 2
             face_planes = (
-                os.environ.get("BRICK_PLANES", "1") != "0"
+                face_planes
                 and not mf.high_order_mapping
                 and self._fill_mode == "input"
             )

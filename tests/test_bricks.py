@@ -108,7 +108,7 @@ def test_face_planes_match_oracle(geo, dim, nref, p):
     u = np.random.default_rng(0).standard_normal(mf.n_dofs)
     ref = vmult_oracle(t, p, u)
     s = np.abs(ref).max()
-    bl = BrickLaplaceMM(mf)
+    bl = BrickLaplaceMM(mf, face_planes=True)  # default is ON for p<=2 only
     assert bl._face_planes and bl.bs.plane_covered.sum() > 0
     out = bl.to_dof_vector(bl.vmult(bl.from_dof_vector(u)), zero_hanging=True)
     assert np.abs(out - ref).max() < 1e-12 * s
