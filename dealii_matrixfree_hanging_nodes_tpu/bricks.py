@@ -615,11 +615,36 @@ class BrickStructure:
             # cross-level copies fold too (one-hot P1^T rows) — the coarse
             # copy owns the assembled value, fine copies are zeroed and
             # restored by the input fill, exactly like the per-cell
-            # closure convention
+            # closure convention. Masks are DISJOINTIFIED across groups
+            # per (fine brick, node) — two faces of one brick share edge
+            # nodes; claiming each node once lets every group of a level
+            # compose through one scatter-ADD (values agree on fill,
+            # folds must run once).
             self.plane_groups.append(dict(
                 level=lvF, d=d, s=s, c_pl=c_pl, offs=offs,
                 fine=fine_ids, coarse=coarse_ids, cover=cover,
             ))
+        claimed = {}  # fine brick -> bool[N3] of already-claimed nodes
+        N3 = NB**dim
+        for g in self.plane_groups:
+            d, s = g["d"], g["s"]
+            tang = sorted([t for t in range(dim) if t != d], reverse=True)
+            idx_d = (0 if s == 0 else NB - 1) * NB**d
+            if dim == 3:
+                hi, lo = np.meshgrid(np.arange(NB), np.arange(NB),
+                                     indexing="ij")
+                plane_idx = (idx_d + hi * NB**tang[0]
+                             + lo * NB**tang[1]).ravel()
+            else:
+                plane_idx = idx_d + np.arange(NB) * NB**tang[0]
+            for pi, f in enumerate(g["fine"]):
+                cl = claimed.setdefault(int(f), np.zeros(N3, dtype=bool))
+                cov = g["cover"][pi].ravel() > 0
+                eff = cov & ~cl[plane_idx]
+                cl[plane_idx[eff]] = True
+                g["cover"][pi] = eff.astype(np.float64).reshape(
+                    g["cover"][pi].shape
+                )
         # interpolation from the covering coarse cell's nodal basis
         P1 = np.zeros((NB, Nh))
         from .elements import lagrange_values
@@ -1847,25 +1872,11 @@ class BrickLaplaceMM:
             w_of[W] = np.arange(len(W))
             self.arrays["plane_W"] = W.astype(np.int32)
             self.arrays["plane_P1"] = np.asarray(bs.plane_P1, dtype=mf.dtype)
-            # per-LEVEL fine-row buffers: the group loop's row scatters run
-            # on a [n_level_fine, N3] buffer (one working-set copy per
-            # level, not per group — a per-group scatter copies the whole
-            # working set, which dominated at large N3)
             self._plane_levels = sorted({m["level"] for m in self._plane_meta})
-            for lv in self._plane_levels:
-                gl = [i for i, m in enumerate(self._plane_meta)
-                      if m["level"] == lv]
-                ids = np.unique(np.concatenate(
-                    [w_of[bs.plane_groups[i]["fine"]] for i in gl]
-                ))
-                l_of = np.full(len(W), -1, dtype=np.int64)
-                l_of[ids] = np.arange(len(ids))
-                self.arrays[f"plvl{lv}_ids"] = ids.astype(np.int32)
-                for i in gl:
-                    self.arrays[f"plane{i}_fine_l"] = l_of[
-                        w_of[bs.plane_groups[i]["fine"]]
-                    ].astype(np.int32)
             for i, g in enumerate(bs.plane_groups):
+                self.arrays[f"plane{i}_fine"] = w_of[g["fine"]].astype(
+                    np.int32
+                )
                 self.arrays[f"plane{i}_coarse"] = w_of[g["coarse"]].astype(
                     np.int32
                 )
@@ -3022,16 +3033,19 @@ class BrickLaplaceMM:
         dt = bv.dtype
         tf = bv[:, : self.N3]
         W = a["plane_W"]
-        t = jnp.take(tf, W, axis=0).reshape((-1,) + (NB,) * dim)
+        N3 = NB**dim
+        t = jnp.take(tf, W, axis=0)  # [n_W, N3]
         for lv in self._plane_levels:  # coarse level first
-            ids = a[f"plvl{lv}_ids"]
-            buf = jnp.take(t, ids, axis=0)
+            rows, ids = [], []
             for i, m in enumerate(self._plane_meta):
                 if m["level"] != lv:
                     continue
                 d, s, offs = m["d"], m["s"], m["offs"]
-                # coarse reads come from t (earlier levels committed)
-                cr = jnp.take(t, a[f"plane{i}_coarse"], axis=0)
+                # all reads come from the pre-level state; the disjoint
+                # cover masks make the level's updates compose by ADD
+                cr = jnp.take(t, a[f"plane{i}_coarse"], axis=0).reshape(
+                    (-1,) + (NB,) * dim
+                )
                 cpl = cr[self._face_ix(dim, d, m["c_pl"])]
                 if dim == 3:
                     r0, c0 = offs[1] * Half, offs[0] * Half
@@ -3044,14 +3058,19 @@ class BrickLaplaceMM:
                     c0 = offs[0] * Half
                     fp = jnp.einsum("iI,bI->bi", P1, cpl[:, c0:c0 + Nh],
                                     preferred_element_type=dt)
-                fl = a[f"plane{i}_fine_l"]
-                fr = jnp.take(buf, fl, axis=0)
+                fr = jnp.take(t, a[f"plane{i}_fine"], axis=0).reshape(
+                    (-1,) + (NB,) * dim
+                )
                 fix = self._face_ix(dim, d, 0 if s == 0 else NB - 1)
                 cover = a[f"plane{i}_cover"]
-                fr = fr.at[fix].set(fr[fix] * (1.0 - cover) + fp * cover)
-                buf = buf.at[fl].set(fr)
-            t = t.at[ids].set(buf)
-        out = tf.at[W].set(t.reshape(-1, NB**dim))
+                upd = jnp.zeros_like(fr).at[fix].set(
+                    (fp - fr[fix]) * cover
+                )
+                rows.append(upd.reshape(-1, N3))
+                ids.append(a[f"plane{i}_fine"])
+            if rows:
+                t = t.at[jnp.concatenate(ids)].add(jnp.concatenate(rows))
+        out = tf.at[W].set(t)
         if self.N3p > self.N3:
             out = jnp.pad(out, ((0, 0), (0, self.N3p - self.N3)))
         return out
@@ -3073,21 +3092,21 @@ class BrickLaplaceMM:
         dt = v.dtype
         tf = v[:, : self.N3]
         W = a["plane_W"]
-        t = jnp.take(tf, W, axis=0).reshape((-1,) + (NB,) * dim)
+        N3 = NB**dim
+        t = jnp.take(tf, W, axis=0)  # [n_W, N3]
         for lv in reversed(self._plane_levels):  # fine level first
-            ids = a[f"plvl{lv}_ids"]
-            buf = jnp.take(t, ids, axis=0)
-            crows, cids = [], []
+            rows, ids = [], []
             for i, m in enumerate(self._plane_meta):
                 if m["level"] != lv:
                     continue
                 d, s, offs = m["d"], m["s"], m["offs"]
                 hang = a[f"plane{i}_cover"]
-                fl = a[f"plane{i}_fine_l"]
-                fr = jnp.take(buf, fl, axis=0)
+                fr = jnp.take(t, a[f"plane{i}_fine"], axis=0).reshape(
+                    (-1,) + (NB,) * dim
+                )
                 fix = self._face_ix(dim, d, 0 if s == 0 else NB - 1)
                 fpl = fr[fix]
-                h = fpl * hang
+                h = fpl * hang  # disjoint masks: each node folds ONCE
                 n_k = h.shape[0]
                 if dim == 3:
                     r0, c0 = offs[1] * Half, offs[0] * Half
@@ -3108,16 +3127,15 @@ class BrickLaplaceMM:
                 crow = jnp.zeros((n_k,) + (NB,) * dim, dt).at[
                     self._face_ix(dim, d, m["c_pl"])
                 ].set(cadd)
-                crows.append(crow.reshape(n_k, -1))
-                cids.append(a[f"plane{i}_coarse"])
-                fr = fr.at[fix].set(fpl * (1.0 - hang))
-                buf = buf.at[fl].set(fr)
-            t = t.at[ids].set(buf)
-            # one scatter-add of all the level's coarse folds (dup ids sum)
-            t = t.reshape(-1, NB**dim).at[
-                jnp.concatenate(cids)
-            ].add(jnp.concatenate(crows)).reshape((-1,) + (NB,) * dim)
-        out = tf.at[W].set(t.reshape(-1, NB**dim))
+                rows.append(crow.reshape(n_k, N3))
+                ids.append(a[f"plane{i}_coarse"])
+                # zero the folded fine copies: subtract each once
+                zrow = jnp.zeros_like(fr).at[fix].set(-h)
+                rows.append(zrow.reshape(n_k, N3))
+                ids.append(a[f"plane{i}_fine"])
+            if rows:
+                t = t.at[jnp.concatenate(ids)].add(jnp.concatenate(rows))
+        out = tf.at[W].set(t)
         if self.N3p > self.N3:
             out = jnp.pad(out, ((0, 0), (0, self.N3p - self.N3)))
         return out
