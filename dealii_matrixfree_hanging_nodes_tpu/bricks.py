@@ -1169,6 +1169,17 @@ class BrickLaplaceMM:
                 and self._fill_mode == "input"
             )
         self._face_planes = bool(face_planes)
+        # assembled masked-quadrature removal: the big win at low degree
+        # (C=B^dim cells per brick make every per-row op dominant) but a
+        # measured ~2 ms loss at the p=4 flagship (bench 1.71 -> 1.43
+        # GDoF/s at r7), where the per-cell `plain` delta path is already
+        # cheap. BRICK_ASM=0/1 overrides the degree gate.
+        env_asm = os.environ.get("BRICK_ASM", "auto")
+        self._use_masked_removal = (
+            (env_asm == "1" or (env_asm != "0" and degree <= 3))
+            and not mf.high_order_mapping
+            and self._fill_mode == "input"
+        ) or self._face_planes
 
         self.bs = bs = BrickStructure(mf, brick_size,
                                       face_planes=self._face_planes)
@@ -2344,7 +2355,7 @@ class BrickLaplaceMM:
         # 0) face-plane input resolution (assembled schedule): plane-covered
         #    constraints fill before the main pass, so their cells compute
         #    correct integrals with no per-cell correction at all
-        assembled = (not self._deformed) and self._fill_mode == "input"
+        assembled = self._use_masked_removal
         if assembled and self._plane_meta:
             bv = self._plane_fill(bv, a)
         # 1) main path: assembled brick operator (Kronecker-separable form),
@@ -2914,13 +2925,28 @@ class BrickLaplaceMM:
         v = self._main_apply(bv, a)
         v = v * a["geo"][:, None]
         if self._n_sub and a["absent_sub"].shape[0]:
-            # assembled hole removal: one masked quadrature apply on the
-            # subset bricks instead of the cols-domain extract/K/gather/
-            # col2im chain (whose per-row ops dominated at low degree)
             u_sub = self._take_sub(bv, a)
-            v = self._subset_scatter_add(
-                v, -self._masked_quad_apply(u_sub, a, a["qmask_absent"]), a
-            )
+            if self._use_masked_removal:
+                # assembled hole removal: one masked quadrature apply on
+                # the subset bricks instead of the cols-domain extract/K/
+                # gather/col2im chain (whose per-row ops dominate at low
+                # degree)
+                v = self._subset_scatter_add(
+                    v,
+                    -self._masked_quad_apply(u_sub, a, a["qmask_absent"]),
+                    a,
+                )
+            else:
+                cols_u = self._extract_cols(u_sub, a)
+                plain = jnp.dot(
+                    cols_u, a["K"].T, preferred_element_type=bv.dtype
+                ) * a["geo_cell_sub"][:, None]
+                dcols = jnp.zeros_like(plain).at[a["absent_sub"]].set(
+                    -jnp.take(plain, a["absent_sub"], axis=0)
+                )
+                v = self._subset_scatter_add(
+                    v, self._scatter_cols(dcols, a), a
+                )
         surf = jnp.dot(v, a["Es"].T, preferred_element_type=bv.dtype)
         surf_new = self._dss_surface(surf, a)
         return jnp.where(
